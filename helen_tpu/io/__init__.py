@@ -1,0 +1,12 @@
+from helen_tpu.io.images import ImageRecord, MarginPolishDataset, batched_image_iterator
+from helen_tpu.io.prediction_store import PredictionStore, read_prediction_regions
+from helen_tpu.io.fasta import write_fasta
+
+__all__ = [
+    "ImageRecord",
+    "MarginPolishDataset",
+    "batched_image_iterator",
+    "PredictionStore",
+    "read_prediction_regions",
+    "write_fasta",
+]

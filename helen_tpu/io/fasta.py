@@ -1,0 +1,40 @@
+"""Polished-FASTA output.
+
+Matches the reference's output format byte for byte: ``>`` + contig name +
+newline + the full sequence on a single line (reference StitchInterface.py:104-106).
+"""
+from __future__ import annotations
+
+from typing import Iterable, Tuple
+
+
+def write_fasta(path: str, records: Iterable[Tuple[str, str]]) -> int:
+    """Write (name, sequence) records; empty sequences are skipped
+    (reference StitchInterface.py:104). Returns records written."""
+    n = 0
+    with open(path, "w") as f:
+        for name, seq in records:
+            if not seq:
+                continue
+            f.write(">" + name + "\n")
+            f.write(seq + "\n")
+            n += 1
+    return n
+
+
+def read_fasta(path: str):
+    """Minimal FASTA reader (for tests and eval tooling)."""
+    name = None
+    chunks = []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line.startswith(">"):
+                if name is not None:
+                    yield name, "".join(chunks)
+                name = line[1:].split()[0]
+                chunks = []
+            else:
+                chunks.append(line)
+    if name is not None:
+        yield name, "".join(chunks)

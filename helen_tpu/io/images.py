@@ -1,0 +1,222 @@
+"""MarginPolish image HDF5 reader and host-side batching pipeline.
+
+Input format (the numerical contract; reference dataloader_predict.py:61-88):
+each ``*.h5`` file holds ``images/<name>/`` groups with datasets
+
+  - ``image``:    uint8, (<=1000, 90) pileup weight matrix
+  - ``position``: int,   (<=1000, 3)  = (ref_position, insert_index, split_index)
+  - ``contig``:   1-element string array
+  - ``contig_start`` / ``contig_end`` / ``feature_chunk_idx``: 1-element ints
+  - training files additionally ``label_base`` (0-4) and ``label_run_length``
+    (0-10) per column (reference dataloader.py:58-63).
+
+Images shorter than ``seq_length`` columns are zero-padded and their position
+rows padded with (-1,-1,-1) (reference dataloader_predict.py:72-86); the
+padding rows are masked out downstream at stitch time.
+
+Instead of the reference's torch DataLoader worker processes, this module uses
+a thread-pool prefetcher: HDF5 reads release the GIL, and the TPU consumer only
+needs steady batches of (B, 1000, 90) uint8 arrays.
+"""
+from __future__ import annotations
+
+import concurrent.futures
+import dataclasses
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import h5py
+import numpy as np
+
+from helen_tpu.config import IMAGE, ImageConfig
+
+
+@dataclasses.dataclass
+class ImageRecord:
+    """One pileup image with its genomic metadata."""
+
+    contig: str
+    contig_start: int
+    contig_end: int
+    chunk_id: int
+    image: np.ndarray  # (seq_length, feature_dim) uint8
+    position: np.ndarray  # (seq_length, 3) int64
+    filename: str
+    label_base: Optional[np.ndarray] = None  # (seq_length,) int64 when labeled
+    label_rle: Optional[np.ndarray] = None
+
+
+def _decode_contig(raw) -> str:
+    val = raw[0] if getattr(raw, "shape", None) else raw
+    if isinstance(val, bytes):
+        return val.decode("utf-8")
+    return str(val)
+
+
+def pad_image(image: np.ndarray, position: np.ndarray, seq_length: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Zero-pad image columns and (-1,-1,-1)-pad position rows to seq_length."""
+    rows = image.shape[0]
+    if rows > seq_length:
+        raise ValueError(f"image has {rows} columns > seq_length {seq_length}")
+    if rows < seq_length:
+        pad = seq_length - rows
+        image = np.concatenate(
+            [image, np.zeros((pad, image.shape[1]), dtype=image.dtype)], axis=0
+        )
+        position = np.concatenate(
+            [position, np.full((pad, 3), -1, dtype=position.dtype)], axis=0
+        )
+    return image, position
+
+
+class MarginPolishDataset:
+    """Index of all images across a set of MarginPolish HDF5 files.
+
+    Equivalent of the reference's three SequenceDataset variants
+    (dataloader.py / dataloader_predict.py / dataloader_debug.py) unified:
+    pass ``with_labels=True`` for training/eval files.
+    """
+
+    def __init__(
+        self,
+        files: Sequence[str],
+        image_config: ImageConfig = IMAGE,
+        with_labels: bool = False,
+    ):
+        self.files = list(files)
+        self.cfg = image_config
+        self.with_labels = with_labels
+        self.index: List[Tuple[str, str]] = []  # (file, image_name)
+        for path in self.files:
+            with h5py.File(path, "r") as f:
+                if "images" not in f:
+                    continue
+                for name in sorted(f["images"].keys()):
+                    self.index.append((path, name))
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def load(self, i: int) -> ImageRecord:
+        path, name = self.index[i]
+        with h5py.File(path, "r") as f:
+            grp = f["images"][name]
+            image = np.asarray(grp["image"][()], dtype=np.uint8)
+            position = np.asarray(grp["position"][()], dtype=np.int64)
+            contig = _decode_contig(grp["contig"][()])
+            contig_start = int(np.asarray(grp["contig_start"][()]).reshape(-1)[0])
+            contig_end = int(np.asarray(grp["contig_end"][()]).reshape(-1)[0])
+            chunk_id = int(np.asarray(grp["feature_chunk_idx"][()]).reshape(-1)[0])
+            label_base = label_rle = None
+            if self.with_labels:
+                label_base = np.asarray(grp["label_base"][()], dtype=np.int64)
+                label_rle = np.asarray(grp["label_run_length"][()], dtype=np.int64)
+        image, position = pad_image(image, position, self.cfg.seq_length)
+        if self.with_labels:
+            label_base = _pad_labels(label_base, self.cfg.seq_length)
+            label_rle = _pad_labels(label_rle, self.cfg.seq_length)
+        return ImageRecord(
+            contig=contig,
+            contig_start=contig_start,
+            contig_end=contig_end,
+            chunk_id=chunk_id,
+            image=image,
+            position=position,
+            filename=path,
+            label_base=label_base,
+            label_rle=label_rle,
+        )
+
+
+def _pad_labels(labels: np.ndarray, seq_length: int) -> np.ndarray:
+    if labels.shape[0] < seq_length:
+        labels = np.concatenate(
+            [labels, np.zeros(seq_length - labels.shape[0], dtype=labels.dtype)]
+        )
+    return labels
+
+
+@dataclasses.dataclass
+class ImageBatch:
+    """A device-ready batch. ``valid`` marks real rows (the tail of the last
+    batch is padded with zero images so batch shape stays static for XLA)."""
+
+    records: List[ImageRecord]
+    images: np.ndarray  # (B, seq_length, feature_dim) uint8
+    valid: int  # number of real rows; rows >= valid are padding
+    labels_base: Optional[np.ndarray] = None  # (B, seq_length) int32
+    labels_rle: Optional[np.ndarray] = None
+
+
+def _make_batch(
+    records: List[ImageRecord], batch_size: int, with_labels: bool
+) -> ImageBatch:
+    valid = len(records)
+    feature_dim = records[0].image.shape[1]
+    seq_length = records[0].image.shape[0]
+    images = np.zeros((batch_size, seq_length, feature_dim), dtype=np.uint8)
+    for j, rec in enumerate(records):
+        images[j] = rec.image
+    labels_base = labels_rle = None
+    if with_labels:
+        labels_base = np.zeros((batch_size, seq_length), dtype=np.int32)
+        labels_rle = np.zeros((batch_size, seq_length), dtype=np.int32)
+        for j, rec in enumerate(records):
+            labels_base[j] = rec.label_base
+            labels_rle[j] = rec.label_rle
+    return ImageBatch(
+        records=records,
+        images=images,
+        valid=valid,
+        labels_base=labels_base,
+        labels_rle=labels_rle,
+    )
+
+
+def batched_image_iterator(
+    dataset: MarginPolishDataset,
+    batch_size: int,
+    num_workers: int = 8,
+    prefetch: int = 4,
+    indices: Optional[Sequence[int]] = None,
+    pad_final: bool = True,
+) -> Iterator[ImageBatch]:
+    """Stream fixed-shape batches with background thread-pool loading.
+
+    Keeps ``prefetch`` batches in flight so HDF5 I/O overlaps TPU compute —
+    the replacement for the reference DataLoader's worker processes
+    (reference predict_gpu.py:82-85).
+    """
+    order = list(indices) if indices is not None else list(range(len(dataset)))
+    if not order:
+        return
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+    stop = threading.Event()
+
+    def producer() -> None:
+        try:
+            with concurrent.futures.ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+                for chunk_start in range(0, len(order), batch_size):
+                    if stop.is_set():
+                        return
+                    idxs = order[chunk_start : chunk_start + batch_size]
+                    records = list(pool.map(dataset.load, idxs))
+                    size = batch_size if pad_final else len(records)
+                    q.put(_make_batch(records, size, dataset.with_labels))
+            q.put(None)
+        except BaseException as exc:  # propagate loader errors to the consumer
+            q.put(exc)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

@@ -1,0 +1,131 @@
+"""Intermediate prediction HDF5 store.
+
+Writes/reads the same on-disk schema as the reference DataStore
+(reference DataStore.py:83-133) so stitch can merge predictions positionally:
+
+  predictions/<contig>/<contig>-<start>-<end>/contig_start        int scalar
+  predictions/<contig>/<contig>-<start>-<end>/contig_end          int scalar
+  predictions/<contig>/<contig>-<start>-<end>/<chunk_id>/position uint32 (L, 3)
+  predictions/<contig>/<contig>-<start>-<end>/<chunk_id>/bases    uint8  (L,)
+  predictions/<contig>/<contig>-<start>-<end>/<chunk_id>/rles     uint8  (L,)
+
+The ``<contig>-<start>-<end>`` prefix groups all image chunks of one
+MarginPolish region.  Unlike the reference (in-memory dedupe sets that die
+with the process), this store is resumable: ``has_chunk`` checks the file so
+an interrupted consensus run can skip already-written groups.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Set, Tuple
+
+import h5py
+import numpy as np
+
+PRED_ROOT = "predictions"
+
+
+class PredictionStore:
+    """Writer for per-shard prediction files (one file per inference shard)."""
+
+    def __init__(self, filename: str, mode: str = "w"):
+        self.filename = filename
+        self.file = h5py.File(filename, mode)
+        self._regions: Set[str] = set()
+        self._chunks: Set[Tuple[str, str]] = set()
+        if mode == "a" and PRED_ROOT in self.file:
+            for contig in self.file[PRED_ROOT]:
+                for region in self.file[PRED_ROOT][contig]:
+                    self._regions.add(region)
+                    for key in self.file[PRED_ROOT][contig][region]:
+                        if key not in ("contig_start", "contig_end"):
+                            self._chunks.add((region, key))
+
+    def __enter__(self) -> "PredictionStore":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def close(self) -> None:
+        if self.file:
+            self.file.close()
+            self.file = None
+
+    def has_chunk(self, contig: str, contig_start: int, contig_end: int, chunk_id: int) -> bool:
+        region = f"{contig}-{contig_start}-{contig_end}"
+        return (region, str(chunk_id)) in self._chunks
+
+    def write_prediction(
+        self,
+        contig: str,
+        contig_start: int,
+        contig_end: int,
+        chunk_id: int,
+        position: np.ndarray,
+        bases: np.ndarray,
+        rles: np.ndarray,
+    ) -> None:
+        """Write one image's predictions; duplicate (region, chunk) pairs are
+        first-write-wins, matching the reference dedupe (DataStore.py:104-124)."""
+        region = f"{contig}-{contig_start}-{contig_end}"
+        base_path = f"{PRED_ROOT}/{contig}/{region}"
+        if region not in self._regions:
+            self._regions.add(region)
+            self.file[f"{base_path}/contig_start"] = int(contig_start)
+            self.file[f"{base_path}/contig_end"] = int(contig_end)
+        key = (region, str(chunk_id))
+        if key in self._chunks:
+            return
+        self._chunks.add(key)
+        grp = f"{base_path}/{chunk_id}"
+        self.file[f"{grp}/position"] = np.asarray(position, dtype=np.uint32)
+        self.file[f"{grp}/bases"] = np.asarray(bases, dtype=np.uint8)
+        self.file[f"{grp}/rles"] = np.asarray(rles, dtype=np.uint8)
+
+    def flush(self) -> None:
+        self.file.flush()
+
+
+def list_contigs(prediction_files: List[str]) -> List[str]:
+    """Union of contigs across prediction files (reference StitchInterface.py:50-65)."""
+    contigs: Set[str] = set()
+    for path in prediction_files:
+        with h5py.File(path, "r") as f:
+            if PRED_ROOT not in f:
+                raise ValueError(f"{path}: no '{PRED_ROOT}' group — not a prediction file")
+            contigs.update(f[PRED_ROOT].keys())
+    return sorted(contigs)
+
+
+def list_region_keys(
+    prediction_files: List[str], contig: str
+) -> List[Tuple[str, str, int, int]]:
+    """All (file, region_key, start, end) tuples for a contig across files
+    (reference StitchInterface.py:82-95)."""
+    out: List[Tuple[str, str, int, int]] = []
+    for path in prediction_files:
+        with h5py.File(path, "r") as f:
+            if PRED_ROOT not in f or contig not in f[PRED_ROOT]:
+                continue
+            for region_key in sorted(f[PRED_ROOT][contig].keys()):
+                grp = f[PRED_ROOT][contig][region_key]
+                start = int(grp["contig_start"][()])
+                end = int(grp["contig_end"][()])
+                out.append((path, region_key, start, end))
+    return sorted(out, key=lambda t: (t[2], t[3]))
+
+
+def read_prediction_regions(
+    path: str, contig: str, region_key: str
+) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Yield (position, bases, rles) per image chunk of a region, in sorted
+    chunk order (reference Stitch.py:204-225)."""
+    with h5py.File(path, "r") as f:
+        grp = f[PRED_ROOT][contig][region_key]
+        chunk_names = sorted(k for k in grp.keys() if k not in ("contig_start", "contig_end"))
+        for name in chunk_names:
+            yield (
+                np.asarray(grp[name]["position"][()], dtype=np.int64),
+                np.asarray(grp[name]["bases"][()], dtype=np.int64),
+                np.asarray(grp[name]["rles"][()], dtype=np.int64),
+            )
