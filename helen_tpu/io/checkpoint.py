@@ -1,0 +1,202 @@
+"""Checkpoint I/O: native .npz format plus reference-checkpoint conversion.
+
+Native format: a single ``.npz`` holding every pytree leaf under a
+``/``-joined key path, plus a JSON ``__meta__`` blob (model dims, epoch,
+format version). Optimizer state is stored the same way under ``opt/`` with
+leaves in flatten order — reconstructed at load time against a freshly
+``optimizer.init``-ed treedef, so no pickling of optax internals.
+
+Reference conversion: the published HELEN models are torch ``.pkl``
+checkpoints ``{model_state_dict, model_optimizer, hidden_size, gru_layers,
+epochs}`` (reference ModelHander.py:127-133). ``import_torch_checkpoint``
+maps torch nn.GRU / nn.Linear weight layouts onto helen_tpu's param pytree
+(transposed for right-multiplication; DDP ``module.`` prefixes stripped as in
+reference ModelHander.py:70-75). ``export_torch_state_dict`` goes the other
+way so polished models remain usable with the reference tooling.
+"""
+from __future__ import annotations
+
+import io
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+FORMAT_VERSION = 1
+
+
+# ---------------------------------------------------------------------------
+# pytree <-> flat dict
+# ---------------------------------------------------------------------------
+
+def flatten_tree(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k in sorted(tree.keys()):
+            out.update(flatten_tree(tree[k], f"{prefix}{k}/"))
+    else:
+        out[prefix.rstrip("/")] = np.asarray(tree)
+    return out
+
+
+def unflatten_tree(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# native checkpoint
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(
+    path: str,
+    params: Any,
+    meta: Optional[Dict[str, Any]] = None,
+    opt_state: Any = None,
+) -> None:
+    """Atomically write params (+ optional optimizer state) to ``path``."""
+    import jax
+
+    arrays = {f"params/{k}": v for k, v in flatten_tree(jax.device_get(params)).items()}
+    if opt_state is not None:
+        leaves = jax.tree_util.tree_leaves(jax.device_get(opt_state))
+        for i, leaf in enumerate(leaves):
+            arrays[f"opt/{i:05d}"] = np.asarray(leaf)
+    meta = dict(meta or {})
+    meta["format_version"] = FORMAT_VERSION
+    buf = io.BytesIO()
+    np.savez(buf, __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(buf.getvalue())
+    os.replace(tmp, path)  # atomic: a preempted writer never corrupts the file
+
+
+def load_checkpoint(
+    path: str, opt_state_template: Any = None
+) -> Tuple[Dict[str, Any], Dict[str, Any], Any]:
+    """Load (params, meta, opt_state). ``opt_state_template`` (e.g. from
+    ``optimizer.init(params)``) supplies the treedef for optimizer state; pass
+    None to skip optimizer restore."""
+    import jax
+
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["__meta__"].tobytes()).decode())
+        params_flat = {
+            k[len("params/") :]: data[k] for k in data.files if k.startswith("params/")
+        }
+        opt_keys = sorted(k for k in data.files if k.startswith("opt/"))
+        opt_leaves = [data[k] for k in opt_keys]
+    params = unflatten_tree(params_flat)
+    opt_state = None
+    if opt_state_template is not None and opt_leaves:
+        treedef = jax.tree_util.tree_structure(opt_state_template)
+        template_leaves = jax.tree_util.tree_leaves(opt_state_template)
+        if len(template_leaves) != len(opt_leaves):
+            raise ValueError(
+                f"optimizer state mismatch: checkpoint has {len(opt_leaves)} leaves, "
+                f"template has {len(template_leaves)}"
+            )
+        coerced = [
+            np.asarray(saved, dtype=np.asarray(tmpl).dtype).reshape(np.shape(tmpl))
+            for saved, tmpl in zip(opt_leaves, template_leaves)
+        ]
+        opt_state = jax.tree_util.tree_unflatten(treedef, coerced)
+    return params, meta, opt_state
+
+
+# ---------------------------------------------------------------------------
+# reference (torch pkl) conversion
+# ---------------------------------------------------------------------------
+
+_GRU_MAP = {"gru_encoder": "encoder", "gru_decoder": "decoder"}
+_HEAD_MAP = {"dense1_base": "base_head", "dense2_rle": "rle_head"}
+
+
+def _strip_ddp(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    return {
+        (k[len("module.") :] if k.startswith("module.") else k): v
+        for k, v in state_dict.items()
+    }
+
+
+def params_from_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert a reference TransducerGRU state dict into helen_tpu params."""
+    sd = {k: np.asarray(v, dtype=np.float32) for k, v in _strip_ddp(state_dict).items()}
+    params: Dict[str, Any] = {}
+    for torch_name, ours in _GRU_MAP.items():
+        layer: Dict[str, Any] = {}
+        for direction, suffix in (("fwd", ""), ("bwd", "_reverse")):
+            layer[direction] = {
+                # torch stores (3H, D); we right-multiply so transpose
+                "w_ih": sd[f"{torch_name}.weight_ih_l0{suffix}"].T.copy(),
+                "w_hh": sd[f"{torch_name}.weight_hh_l0{suffix}"].T.copy(),
+                "b_ih": sd[f"{torch_name}.bias_ih_l0{suffix}"].copy(),
+                "b_hh": sd[f"{torch_name}.bias_hh_l0{suffix}"].copy(),
+            }
+        params[ours] = layer
+    for torch_name, ours in _HEAD_MAP.items():
+        params[ours] = {
+            "w": sd[f"{torch_name}.weight"].T.copy(),
+            "b": sd[f"{torch_name}.bias"].copy(),
+        }
+    return params
+
+
+def export_torch_state_dict(params: Any) -> Dict[str, np.ndarray]:
+    """Inverse of params_from_torch_state_dict (numpy arrays, torch layout)."""
+    import jax
+
+    p = jax.device_get(params)
+    sd: Dict[str, np.ndarray] = {}
+    for torch_name, ours in _GRU_MAP.items():
+        for direction, suffix in (("fwd", ""), ("bwd", "_reverse")):
+            d = p[ours][direction]
+            sd[f"{torch_name}.weight_ih_l0{suffix}"] = np.asarray(d["w_ih"]).T.copy()
+            sd[f"{torch_name}.weight_hh_l0{suffix}"] = np.asarray(d["w_hh"]).T.copy()
+            sd[f"{torch_name}.bias_ih_l0{suffix}"] = np.asarray(d["b_ih"]).copy()
+            sd[f"{torch_name}.bias_hh_l0{suffix}"] = np.asarray(d["b_hh"]).copy()
+    for torch_name, ours in _HEAD_MAP.items():
+        sd[f"{torch_name}.weight"] = np.asarray(p[ours]["w"]).T.copy()
+        sd[f"{torch_name}.bias"] = np.asarray(p[ours]["b"]).copy()
+    return sd
+
+
+def import_torch_checkpoint(pkl_path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Load a reference ``.pkl`` model and return (params, meta)."""
+    import torch
+
+    ckpt = torch.load(pkl_path, map_location="cpu", weights_only=False)
+    state_dict = {k: v.numpy() for k, v in ckpt["model_state_dict"].items()}
+    params = params_from_torch_state_dict(state_dict)
+    meta = {
+        "hidden_size": int(ckpt.get("hidden_size", 128)),
+        "gru_layers": int(ckpt.get("gru_layers", 1)),
+        "epochs": int(ckpt.get("epochs", 0)),
+        "source": os.path.basename(pkl_path),
+    }
+    return params, meta
+
+
+def load_model_any(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Load either a native .npz checkpoint or a reference torch .pkl."""
+    if path.endswith(".npz"):
+        params, meta, _ = load_checkpoint(path)
+        return params, meta
+    # both npz and torch checkpoints are zip archives; probe for our marker
+    try:
+        with np.load(path) as data:
+            is_native = "__meta__" in data.files
+    except Exception:
+        is_native = False
+    if is_native:
+        params, meta, _ = load_checkpoint(path)
+        return params, meta
+    return import_torch_checkpoint(path)

@@ -1,0 +1,140 @@
+"""The Transducer model: bi-GRU encoder -> bi-GRU decoder -> two linear heads.
+
+Functionally equivalent to the reference TransducerGRU
+(helen/modules/python/models/TransducerModel.py:43-79): a 90-feature pileup
+column stream is encoded by a bidirectional GRU (90 -> 2x128), decoded by a
+second bidirectional GRU (256 -> 2x128), and classified by two linear heads
+into 5 base classes and 11 run-length classes. ~470K parameters.
+
+Hidden-state contract (the reference's "transducer windowing",
+predict_gpu.py:99-129): the model is applied to overlapping windows of the
+image; the *decoder's* final hidden state of window k seeds the *encoder* of
+window k+1. `consensus_probs` replays this exactly — including the softmax-sum
+overlap voting — as a single jitted lax.scan over windows, so one XLA program
+computes what the reference does with a Python loop around cuDNN calls.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from helen_tpu.config import MODEL, WINDOW, ModelConfig, WindowConfig
+from helen_tpu.models.gru import bigru_apply, bigru_init
+
+Params = Dict[str, Any]
+
+
+def _linear_init(rng: jax.Array, in_dim: int, out_dim: int, dtype=jnp.float32) -> Params:
+    k = 1.0 / jnp.sqrt(jnp.array(in_dim, dtype=jnp.float32))
+    k1, k2 = jax.random.split(rng)
+    return {
+        "w": jax.random.uniform(k1, (in_dim, out_dim), dtype, -k, k),
+        "b": jax.random.uniform(k2, (out_dim,), dtype, -k, k),
+    }
+
+
+def init_params(rng: jax.Array, cfg: ModelConfig = MODEL, dtype=jnp.float32) -> Params:
+    assert cfg.gru_layers == 1 and cfg.bidirectional, (
+        "the transducer contract is 1 bidirectional layer per GRU stack"
+    )
+    h = cfg.hidden_size
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    return {
+        "encoder": bigru_init(k1, cfg.input_features, h, dtype),
+        "decoder": bigru_init(k2, 2 * h, h, dtype),
+        "base_head": _linear_init(k3, 2 * h, cfg.num_base_classes, dtype),
+        "rle_head": _linear_init(k4, 2 * h, cfg.num_rle_classes, dtype),
+    }
+
+
+def num_params(params: Params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+
+
+def init_hidden(batch_size: int, cfg: ModelConfig = MODEL, dtype=jnp.float32) -> jnp.ndarray:
+    """Zero hidden state, shape (B, 2, H): [:, 0] fwd, [:, 1] bwd direction."""
+    return jnp.zeros((batch_size, 2, cfg.hidden_size), dtype=dtype)
+
+
+def forward(
+    params: Params,
+    x: jnp.ndarray,
+    hidden: jnp.ndarray,
+    precision=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One window of the transducer.
+
+    :param x: (B, W, F) float input window
+    :param hidden: (B, 2, H) carried hidden ([:, 0] fwd, [:, 1] bwd)
+    :returns: (base logits (B, W, 5), rle logits (B, W, 11), new hidden (B, 2, H))
+    """
+    xt = jnp.swapaxes(x, 0, 1)  # time-major (W, B, F)
+    enc_out, hf, hb = bigru_apply(
+        params["encoder"], xt, hidden[:, 0], hidden[:, 1], precision=precision
+    )
+    dec_out, hf2, hb2 = bigru_apply(params["decoder"], enc_out, hf, hb, precision=precision)
+    dec_out = jnp.swapaxes(dec_out, 0, 1)  # (B, W, 2H)
+    base = jnp.dot(dec_out, params["base_head"]["w"], precision=precision) + params["base_head"]["b"]
+    rle = jnp.dot(dec_out, params["rle_head"]["w"], precision=precision) + params["rle_head"]["b"]
+    return base, rle, jnp.stack([hf2, hb2], axis=1)
+
+
+def consensus_probs(
+    params: Params,
+    images: jnp.ndarray,
+    window_cfg: WindowConfig = WINDOW,
+    model_cfg: ModelConfig = MODEL,
+    precision=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-image consensus: sliding windows + softmax-sum overlap voting.
+
+    Exact replay of the reference inference loop (predict_gpu.py:114-149):
+    windows start at 0, jump, 2*jump, ... while start+window <= L; the decoder
+    hidden is carried between windows; each window's per-column softmax
+    probabilities are accumulated into (B, L, C) vote tensors.
+
+    :param images: (B, L, F) float32
+    :returns: (base_probs (B, L, 5), rle_probs (B, L, 11)) summed votes
+    """
+    B, L, F = images.shape
+    W = window_cfg.window
+    starts = jnp.asarray(window_cfg.starts(L), dtype=jnp.int32)
+    nb = model_cfg.num_base_classes
+    nr = model_cfg.num_rle_classes
+
+    base_acc = jnp.zeros((B, L, nb), dtype=jnp.float32)
+    rle_acc = jnp.zeros((B, L, nr), dtype=jnp.float32)
+    hidden = init_hidden(B, model_cfg)
+
+    def body(carry, start):
+        hidden, base_acc, rle_acc = carry
+        x = lax.dynamic_slice(images, (0, start, 0), (B, W, F))
+        base, rle, hidden = forward(params, x, hidden, precision=precision)
+        bp = jax.nn.softmax(base, axis=-1)
+        rp = jax.nn.softmax(rle, axis=-1)
+        base_cur = lax.dynamic_slice(base_acc, (0, start, 0), (B, W, nb))
+        rle_cur = lax.dynamic_slice(rle_acc, (0, start, 0), (B, W, nr))
+        base_acc = lax.dynamic_update_slice(base_acc, base_cur + bp, (0, start, 0))
+        rle_acc = lax.dynamic_update_slice(rle_acc, rle_cur + rp, (0, start, 0))
+        return (hidden, base_acc, rle_acc), None
+
+    (_, base_acc, rle_acc), _ = lax.scan(body, (hidden, base_acc, rle_acc), starts)
+    return base_acc, rle_acc
+
+
+def consensus_labels(
+    params: Params,
+    images: jnp.ndarray,
+    window_cfg: WindowConfig = WINDOW,
+    model_cfg: ModelConfig = MODEL,
+    precision=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Vote then argmax (first-max tie-break, same as torch.max) -> uint8 labels."""
+    base_probs, rle_probs = consensus_probs(params, images, window_cfg, model_cfg, precision)
+    return (
+        jnp.argmax(base_probs, axis=-1).astype(jnp.uint8),
+        jnp.argmax(rle_probs, axis=-1).astype(jnp.uint8),
+    )

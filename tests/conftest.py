@@ -6,7 +6,7 @@ before jax is first imported anywhere.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # keep matmuls deterministic/accurate for parity tests
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+
+import jax  # noqa: E402
+
+# The axon sitecustomize registers the TPU backend and pins
+# jax_platforms="axon,cpu" before conftest runs; override it here so tests
+# never touch the tunneled TPU.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

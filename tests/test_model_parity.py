@@ -1,0 +1,104 @@
+"""Numerical parity of the JAX transducer vs torch CPU (the reference engine)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from helen_tpu.config import MODEL, WINDOW
+from helen_tpu.io.checkpoint import (
+    export_torch_state_dict,
+    params_from_torch_state_dict,
+)
+from helen_tpu.models import consensus_probs, forward, init_hidden, init_params, num_params
+from helen_tpu.models.transducer import consensus_labels
+
+from tests.torch_reference import TorchTransducer, reference_consensus
+
+HIGH = jax.lax.Precision.HIGHEST
+
+
+@pytest.fixture(scope="module")
+def torch_model():
+    torch.manual_seed(7)
+    return TorchTransducer()
+
+
+@pytest.fixture(scope="module")
+def params(torch_model):
+    sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+    return jax.tree_util.tree_map(jnp.asarray, params_from_torch_state_dict(sd))
+
+
+def test_param_count(params):
+    # reference model is ~470K params (SURVEY.md §7)
+    n = num_params(params)
+    assert 460_000 < n < 480_000
+
+
+def test_single_window_forward_parity(torch_model, params, rng):
+    x = rng.standard_normal((4, 100, 90)).astype(np.float32)
+    h = rng.standard_normal((4, 2, 128)).astype(np.float32)
+    with torch.no_grad():
+        tb, tr, th = torch_model(torch.from_numpy(x), torch.from_numpy(h))
+    jb, jr, jh = forward(params, jnp.asarray(x), jnp.asarray(h), precision=HIGH)
+    np.testing.assert_allclose(np.asarray(jb), tb.numpy(), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(jr), tr.numpy(), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(jh), th.numpy(), atol=2e-5, rtol=1e-4)
+
+
+def test_hidden_carry_parity(torch_model, params, rng):
+    """Chained windows (the transducer contract) must track torch through the
+    full recurrence depth of a 1000-column image."""
+    x = rng.standard_normal((2, 1000, 90)).astype(np.float32)
+    th = torch.zeros(2, 2, 128)
+    jh = init_hidden(2)
+    for i in range(0, 1000, 50):
+        if i + 100 > 1000:
+            break
+        with torch.no_grad():
+            _, _, th = torch_model(torch.from_numpy(x[:, i : i + 100]), th)
+        _, _, jh = forward(params, jnp.asarray(x[:, i : i + 100]), jh, precision=HIGH)
+    np.testing.assert_allclose(np.asarray(jh), th.numpy(), atol=5e-5, rtol=1e-3)
+
+
+def test_consensus_vote_parity(torch_model, params, rng):
+    """Summed softmax votes and argmax labels must match the reference loop."""
+    # realistic input scale: uint8 pileup weights
+    images = rng.integers(0, 40, size=(3, 1000, 90)).astype(np.float32)
+    tb_probs, tr_probs, tb_lab, tr_lab = reference_consensus(torch_model, images)
+    jb_probs, jr_probs = jax.jit(
+        lambda p, im: consensus_probs(p, im, WINDOW, MODEL, precision=HIGH)
+    )(params, jnp.asarray(images))
+    np.testing.assert_allclose(np.asarray(jb_probs), tb_probs, atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(jr_probs), tr_probs, atol=1e-4, rtol=1e-3)
+    jb_lab, jr_lab = consensus_labels(params, jnp.asarray(images), precision=HIGH)
+    assert (np.asarray(jb_lab) == tb_lab).all()
+    assert (np.asarray(jr_lab) == tr_lab).all()
+
+
+def test_window_starts_contract():
+    # 19 windows over a 1000-column image (SURVEY.md §4 "windowing contract")
+    assert WINDOW.num_windows(1000) == 19
+    assert WINDOW.starts(1000)[0] == 0
+    assert WINDOW.starts(1000)[-1] == 900
+
+
+def test_torch_roundtrip(params):
+    sd = export_torch_state_dict(params)
+    params2 = params_from_torch_state_dict(sd)
+    key = lambda kv: str(kv[0])
+    for (k1, a), (k2, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(params), key=key),
+        sorted(jax.tree_util.tree_leaves_with_path(params2), key=key),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_init_params_shapes():
+    p = init_params(jax.random.PRNGKey(0))
+    assert p["encoder"]["fwd"]["w_ih"].shape == (90, 384)
+    assert p["decoder"]["fwd"]["w_ih"].shape == (256, 384)
+    assert p["base_head"]["w"].shape == (256, 5)
+    assert p["rle_head"]["w"].shape == (256, 11)
+    assert 460_000 < num_params(p) < 480_000
