@@ -1,0 +1,88 @@
+"""ctypes binding for the native stitch library (native/helen_stitch.cpp).
+
+Replaces the reference's pybind11 HELEN module (helen/modules/src/
+pybind_api.cpp) — pybind11 is not available in this toolchain, so the native
+layer exposes a C ABI and this module loads it with ctypes. The shared object
+is built on demand with g++ and cached beside the source; set
+HELEN_TPU_NATIVE_DIR to relocate the build dir.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "helen_stitch.cpp")
+_SRC = os.path.abspath(_SRC)
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+
+
+class HelenAlignmentStruct(ctypes.Structure):
+    _fields_ = [
+        ("score", ctypes.c_int32),
+        ("score2", ctypes.c_int32),
+        ("ref_begin", ctypes.c_int32),
+        ("ref_end", ctypes.c_int32),
+        ("query_begin", ctypes.c_int32),
+        ("query_end", ctypes.c_int32),
+        ("ref_end2", ctypes.c_int32),
+        ("cigar_len", ctypes.c_int32),
+    ]
+
+
+def _build_dir() -> str:
+    d = os.environ.get("HELEN_TPU_NATIVE_DIR") or os.path.join(os.path.dirname(_SRC), "build")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _so_path() -> str:
+    return os.path.join(_build_dir(), "libhelen_stitch.so")
+
+
+def build_native(force: bool = False) -> str:
+    """Compile the native library if missing or older than its source."""
+    so = _so_path()
+    if (
+        not force
+        and os.path.exists(so)
+        and os.path.getmtime(so) >= os.path.getmtime(_SRC)
+    ):
+        return so
+    tmp = so + f".tmp{os.getpid()}"
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-march=native", "-shared", "-fPIC",
+        _SRC, "-o", tmp,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    os.replace(tmp, so)
+    return so
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is None:
+            lib = ctypes.CDLL(build_native())
+            lib.helen_ssw_align.restype = ctypes.c_int
+            lib.helen_ssw_align.argtypes = [
+                ctypes.c_char_p, ctypes.c_int32,  # ref
+                ctypes.c_char_p, ctypes.c_int32,  # query
+                ctypes.c_int32, ctypes.c_int32,   # match, mismatch
+                ctypes.c_int32, ctypes.c_int32,   # gap open, extend
+                ctypes.c_int32,                   # mask_len
+                ctypes.c_int32,                   # report_cigar
+                ctypes.POINTER(HelenAlignmentStruct),
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int32,
+            ]
+            lib.helen_rle_expand.restype = ctypes.c_int32
+            lib.helen_rle_expand.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
+                ctypes.c_char_p, ctypes.c_int32,
+            ]
+            _lib = lib
+    return _lib

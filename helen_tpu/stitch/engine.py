@@ -1,0 +1,242 @@
+"""Consensus stitching engine.
+
+Reassembles per-image label predictions into contig sequences in two stages
+(the reference's hierarchy, Stitch.py:14-301):
+
+1. **Intra-region merge** — all image chunks of one MarginPolish region share
+   a positional coordinate system, so their predictions are merged by
+   (position, insert_index, split_index) key with first-write-wins dedupe,
+   then RLE-decoded to sequence. The reference does this with Python dicts
+   (its stitch bottleneck, Stitch.py:204-247); here it's a vectorized numpy
+   lexsort + a native RLE expansion.
+
+2. **Inter-region join** — adjacent regions overlap by design; the tail of
+   the running sequence is locally aligned (SSW) against the head of the next
+   region and the sequences are joined at the first grouped match run of
+   >= overlap_threshold bases (reference Stitch.py:96-190, :33-94).
+   Degenerate cases (no alignment, no anchor, no overlap) are patched with
+   10 Ns, faithfully reproducing the reference fallbacks.
+
+Contig-level fan-out uses a process pool over groups of region keys
+(reference Stitch.py:277-294).
+"""
+from __future__ import annotations
+
+import concurrent.futures
+import ctypes
+import re
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from helen_tpu.config import STITCH, StitchConfig
+from helen_tpu.io.prediction_store import list_region_keys, read_prediction_regions
+from helen_tpu.obs import get_logger
+from helen_tpu.stitch._native import get_lib
+from helen_tpu.stitch.aligner import Aligner, Alignment, Filter
+from helen_tpu.utils.filesystem import chunk_list
+
+log = get_logger("stitch")
+
+_CIGAR_RE = re.compile(r"(\d+)(\w)")
+
+
+def anchor_positions(
+    cigar_string: str, reference_begin: int, overlap_threshold: int
+) -> Tuple[int, int]:
+    """Find the first grouped match run of >= overlap_threshold bases; return
+    (ref_pos, query_pos) of its start, or (-1, -1).
+
+    Reference semantics (Stitch.py:33-94): '='/'X' count as 'M'; adjacent
+    same-op runs are grouped; S and I advance the query, D advances the ref,
+    M advances both.
+    """
+    cigar = cigar_string.replace("=", "M").replace("X", "M")
+    tuples = [(int(n), op) for n, op in _CIGAR_RE.findall(cigar)]
+    grouped: List[Tuple[str, int]] = []
+    for length, op in tuples:
+        if grouped and grouped[-1][0] == op:
+            grouped[-1] = (op, grouped[-1][1] + length)
+        else:
+            grouped.append((op, length))
+    ref_index = reference_begin
+    read_index = 0
+    for op, length in grouped:
+        if op == "M" and length >= overlap_threshold:
+            return ref_index, read_index
+        if op in ("S", "I"):
+            read_index += length
+        elif op == "D":
+            ref_index += length
+        elif op == "M":
+            ref_index += length
+            read_index += length
+        else:
+            raise ValueError(f"invalid cigar operation in stitching: {op}")
+    return -1, -1
+
+
+def rle_decode(bases: np.ndarray, rles: np.ndarray) -> str:
+    """Expand (base, run-length) labels to sequence via the native helper."""
+    bases = np.ascontiguousarray(bases, dtype=np.uint8)
+    rles = np.ascontiguousarray(rles, dtype=np.uint8)
+    cap = int(rles.astype(np.int64).sum()) + 1
+    buf = ctypes.create_string_buffer(cap)
+    n = get_lib().helen_rle_expand(
+        bases.tobytes(), rles.tobytes(), len(bases), buf, cap
+    )
+    if n < 0:
+        raise RuntimeError("rle_expand buffer overflow")
+    return buf.raw[:n].decode("ascii")
+
+
+def merge_region_chunks(
+    chunks: Iterable[Tuple[np.ndarray, np.ndarray, np.ndarray]]
+) -> str:
+    """Positionally merge the image chunks of one region and decode.
+
+    First-write-wins per (pos, insert_idx, split_idx) in chunk order; output
+    ordered by ascending key; padding rows (pos<0 or insert_idx<0) dropped
+    (reference Stitch.py:227-245).
+    """
+    pos_list, base_list, rle_list = [], [], []
+    for position, bases, rles in chunks:
+        pos_list.append(np.asarray(position, dtype=np.int64))
+        base_list.append(np.asarray(bases, dtype=np.int64))
+        rle_list.append(np.asarray(rles, dtype=np.int64))
+    if not pos_list:
+        return ""
+    position = np.concatenate(pos_list, axis=0)
+    bases = np.concatenate(base_list, axis=0)
+    rles = np.concatenate(rle_list, axis=0)
+    valid = (position[:, 0] >= 0) & (position[:, 1] >= 0)
+    position, bases, rles = position[valid], bases[valid], rles[valid]
+    if position.shape[0] == 0:
+        return ""
+    arrival = np.arange(position.shape[0])
+    order = np.lexsort((arrival, position[:, 2], position[:, 1], position[:, 0]))
+    p = position[order]
+    first = np.ones(p.shape[0], dtype=bool)
+    first[1:] = (p[1:] != p[:-1]).any(axis=1)
+    keep = order[first]
+    return rle_decode(bases[keep], rles[keep])
+
+
+def alignment_stitch(
+    sequence_chunks: Sequence[Tuple[str, int, int, str]],
+    cfg: StitchConfig = STITCH,
+) -> Tuple[str, int, int, str]:
+    """Join sorted overlapping region sequences with SSW anchors.
+
+    Faithful to the reference merge loop (Stitch.py:96-190) including its
+    N-fill fallback behaviors.
+    """
+    chunks = sorted(sequence_chunks, key=lambda c: (c[1], c[2]))
+    contig, running_start, running_end, running_sequence = chunks[0]
+    aligner = Aligner(cfg.match_score, cfg.mismatch_penalty,
+                      cfg.gap_open_penalty, cfg.gap_extend_penalty)
+    filt = Filter()
+    for _, this_start, this_end, this_sequence in chunks[1:]:
+        if this_start < running_end:
+            overlap_bases = running_end - this_start
+            overlap_bases = overlap_bases + int(overlap_bases * cfg.base_error_rate)
+            left_chunk = running_sequence[-overlap_bases:]
+            right_chunk = this_sequence[:overlap_bases]
+            alignment = Alignment()
+            aligner.SetReferenceSequence(left_chunk, len(left_chunk))
+            aligner.Align_cpp(right_chunk, filt, alignment, 0)
+            if alignment.best_score == 0:
+                log.warning("no alignment found between %s:%d-%d and running sequence",
+                            contig, this_start, this_end)
+                # reference behavior: append the overlap prefix after 10 Ns
+                if len(right_chunk) > 10:
+                    running_sequence = running_sequence + 10 * "N" + right_chunk
+                    running_end = this_end
+            else:
+                pos_a, pos_b = anchor_positions(
+                    alignment.cigar_string, alignment.reference_begin,
+                    cfg.overlap_threshold,
+                )
+                if pos_a == -1 or pos_b == -1:
+                    log.warning("no anchor in alignment at %s:%d (cigar %s)",
+                                contig, this_start, alignment.cigar_string)
+                    if len(this_sequence) > 10:
+                        running_sequence = (
+                            running_sequence[:-overlap_bases] + left_chunk
+                            + 10 * "N" + this_sequence
+                        )
+                        running_end = this_end
+                else:
+                    running_sequence = (
+                        running_sequence[:-overlap_bases]
+                        + left_chunk[:pos_a]
+                        + this_sequence[pos_b:]
+                    )
+                    running_end = this_end
+        else:
+            log.warning("no overlap between chunks at %s:%d (running end %d)",
+                        contig, this_start, running_end)
+            if len(this_sequence) > 10:
+                running_sequence = running_sequence + 10 * "N" + this_sequence
+                running_end = this_end
+    return contig, running_start, running_end, running_sequence
+
+
+def _stitch_key_group(
+    contig: str,
+    key_group: Sequence[Tuple[str, str, int, int]],
+    cfg: StitchConfig,
+) -> Tuple[str, int, int, str]:
+    """Worker: decode each region in the group, then join them.
+    (Equivalent of reference Stitch.small_chunk_stitch.)"""
+    region_sequences = []
+    for file_path, region_key, start, end in key_group:
+        seq = merge_region_chunks(read_prediction_regions(file_path, contig, region_key))
+        region_sequences.append((contig, int(start), int(end), seq))
+    return alignment_stitch(region_sequences, cfg)
+
+
+class Stitcher:
+    """Contig-level stitch driver with process-pool fan-out."""
+
+    def __init__(self, cfg: StitchConfig = STITCH, threads: int = 4):
+        self.cfg = cfg
+        self.threads = max(1, threads)
+
+    def stitch(self, prediction_files: List[str], contig: str) -> str:
+        keys = list_region_keys(prediction_files, contig)
+        if not keys:
+            return ""
+        group_size = max(
+            self.cfg.min_sequence_for_multithreading,
+            len(keys) // self.threads + 1,
+        )
+        groups = list(chunk_list(keys, group_size))
+        results: List[Tuple[str, int, int, str]] = []
+        if len(groups) == 1 or self.threads == 1:
+            results = [_stitch_key_group(contig, g, self.cfg) for g in groups]
+        else:
+            with concurrent.futures.ProcessPoolExecutor(max_workers=self.threads) as ex:
+                futures = [
+                    ex.submit(_stitch_key_group, contig, g, self.cfg) for g in groups
+                ]
+                for fut in concurrent.futures.as_completed(futures):
+                    exc = fut.exception()
+                    if exc is None:
+                        results.append(fut.result())
+                    else:
+                        log.error("stitch worker failed: %s", exc)
+        results.sort(key=lambda r: (r[1], r[2]))
+        if not results:
+            return ""
+        _, _, _, sequence = alignment_stitch(results, self.cfg)
+        return sequence
+
+
+def stitch_contig(
+    prediction_files: List[str],
+    contig: str,
+    threads: int = 4,
+    cfg: StitchConfig = STITCH,
+) -> str:
+    return Stitcher(cfg, threads).stitch(prediction_files, contig)

@@ -1,0 +1,354 @@
+// helen_stitch: native striped-Smith-Waterman-compatible local aligner.
+//
+// A from-scratch scalar re-implementation of the alignment semantics the
+// reference stitch engine depends on (helen/modules/src/local_reassembly/
+// ssw.c, ssw_cpp.cpp — the Zhao et al. SSW library):
+//
+//  * affine-gap local alignment, H clamped at 0; a length-L gap costs
+//    gap_open + (L-1) * gap_extend;
+//  * default ACGTN matrix: +match on the 4x4 diagonal, -mismatch elsewhere
+//    INCLUDING the N row/column (ssw_cpp.cpp BuildSwScoreMatrix);
+//  * best end: scan ref columns left->right, global best updates only on a
+//    strictly greater column max (earliest column wins ties); within the best
+//    column the smallest read index achieving the max wins (ssw.c
+//    sw_sse2_word epilogue);
+//  * begin: re-scan with the reversed query prefix against ref columns
+//    end->0, terminating at the first column whose max equals the best score
+//    (ssw.c ssw_align:858-871);
+//  * cigar: banded affine DP over the [begin..end] subrectangle with the
+//    reference's exact direction tie-breaks (diagonal wins ties into H; gap
+//    extension wins ties into E/F; E beats F only strictly) and the same
+//    traceback epilogue that forces the first read base to M
+//    (ssw.c banded_sw:571-757).
+//
+// One deliberate difference, documented: the reference's striped kernel
+// updates E from an H value that may include a *partial* lazy-F
+// contribution; we use the pre-F H everywhere, i.e. the revised "no
+// insertion immediately followed by deletion" semantics the lazy-F comment
+// describes. This can only matter for exotic equal-score paths.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this toolchain).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int kAlpha = 5;  // A C G T N
+
+const int8_t kBaseTranslation[128] = {
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    //   A     C            G
+    4, 0, 4, 1, 4, 4, 4, 2, 4, 4, 4, 4, 4, 4, 4, 4,
+    //             T  U(sic: ref maps U->A)
+    4, 4, 4, 4, 3, 0, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 0, 4, 1, 4, 4, 4, 2, 4, 4, 4, 4, 4, 4, 4, 4,
+    4, 4, 4, 4, 3, 0, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4};
+
+void build_matrix(int32_t match, int32_t mismatch, int32_t* mat) {
+  for (int i = 0; i < kAlpha; ++i)
+    for (int j = 0; j < kAlpha; ++j)
+      mat[i * kAlpha + j] = (i == j && i < 4) ? match : -mismatch;
+}
+
+void translate(const char* seq, int32_t len, int8_t* out) {
+  for (int32_t i = 0; i < len; ++i)
+    out[i] = kBaseTranslation[static_cast<uint8_t>(seq[i]) & 0x7f];
+}
+
+struct End {
+  int32_t score = 0;
+  int32_t ref = 0;
+  int32_t read = 0;
+};
+
+// Scalar equivalent of the striped forward/reverse scan. terminate==0 means
+// "never terminate early".
+void scan_ends(const int8_t* ref, int ref_dir, int32_t ref_len,
+               const int8_t* read, int32_t read_len, const int32_t* mat,
+               int32_t gap_open, int32_t gap_extend, int32_t terminate,
+               int32_t mask_len, End* best, End* second) {
+  std::vector<int32_t> E(read_len, 0), Hprev(read_len, 0), Hcur(read_len, 0),
+      Hmax(read_len, 0);
+  std::vector<int32_t> max_column(ref_len, 0);
+  int32_t max = 0, end_ref = 0;
+  int32_t begin = 0, end = ref_len, step = 1;
+  if (ref_dir == 1) {
+    begin = ref_len - 1;
+    end = -1;
+    step = -1;
+  }
+  for (int32_t i = begin; i != end; i += step) {
+    const int32_t* prof = mat + ref[i] * kAlpha;
+    int32_t f = 0, h_diag = 0, colmax = 0;
+    for (int32_t j = 0; j < read_len; ++j) {
+      int32_t h = h_diag + prof[read[j]];
+      h_diag = Hprev[j];
+      if (E[j] > h) h = E[j];
+      int32_t h_no_f = h > 0 ? h : 0;  // pre-F value feeds E (see header)
+      if (f > h) h = f;
+      if (h < 0) h = 0;
+      Hcur[j] = h;
+      if (h > colmax) colmax = h;
+      E[j] = std::max({0, h_no_f - gap_open, E[j] - gap_extend});
+      f = std::max({0, h - gap_open, f - gap_extend});
+    }
+    max_column[i] = colmax;
+    if (colmax > max) {
+      max = colmax;
+      end_ref = i;
+      Hmax = Hcur;
+    }
+    std::swap(Hprev, Hcur);
+    if (terminate > 0 && max_column[i] == terminate) break;
+  }
+  best->score = max;
+  best->ref = end_ref;
+  best->read = read_len - 1;
+  for (int32_t j = 0; j < read_len; ++j) {
+    if (Hmax[j] == max) {
+      best->read = j;
+      break;
+    }
+  }
+  second->score = 0;
+  second->ref = 0;
+  second->read = 0;
+  if (mask_len >= 15) {
+    int32_t lo = std::max(0, end_ref - mask_len);
+    int32_t hi = std::min(ref_len, end_ref + mask_len);
+    for (int32_t i = 0; i < lo; ++i)
+      if (max_column[i] > second->score) {
+        second->score = max_column[i];
+        second->ref = i;
+      }
+    for (int32_t i = hi + 1; i < ref_len; ++i)
+      if (max_column[i] > second->score) {
+        second->score = max_column[i];
+        second->ref = i;
+      }
+  }
+}
+
+inline uint32_t cigar_int(uint32_t len, char op) {
+  uint32_t code;
+  switch (op) {
+    case 'M': code = 0; break;
+    case 'I': code = 1; break;
+    case 'D': code = 2; break;
+    case 'S': code = 4; break;
+    default: code = 0;
+  }
+  return (len << 4) | code;
+}
+
+// Banded affine DP + traceback over the [0..ref_len) x [0..read_len)
+// subrectangle, reproducing the reference's direction codes and tie-breaks
+// (ssw.c banded_sw). Returns cigar ops (M/I/D) in forward order, or empty on
+// inconsistency.
+std::vector<uint32_t> banded_cigar(const int8_t* ref, const int8_t* read,
+                                   int32_t ref_len, int32_t read_len,
+                                   int32_t score, int32_t gap_open,
+                                   int32_t gap_extend, int32_t band_width,
+                                   const int32_t* mat) {
+  std::vector<uint32_t> ops;
+  std::vector<int32_t> h_b, e_b, h_c;
+  std::vector<int8_t> direction;
+  int32_t width = 0, width_d = 0, max = 0;
+  auto set_u = [&](int32_t i, int32_t j) {
+    int32_t x = i - band_width;
+    x = x > 0 ? x : 0;
+    return j - x + 1;
+  };
+  auto set_d = [&](int32_t i, int32_t j, int32_t p) {
+    int32_t x = i - band_width;
+    x = x > 0 ? x : 0;
+    return (j - x) * 3 + p;
+  };
+  do {
+    max = 0;
+    width = band_width * 2 + 3;
+    width_d = band_width * 2 + 1;
+    h_b.assign(width, 0);
+    e_b.assign(width, 0);
+    h_c.assign(width, 0);
+    direction.assign(static_cast<size_t>(width_d) * read_len * 3, 0);
+    int32_t u = 0;
+    for (int32_t i = 0; i < read_len; ++i) {
+      int32_t beg = std::max(0, i - band_width);
+      int32_t end = std::min(ref_len - 1, i + band_width);
+      int32_t edge = std::min(end + 1, width - 1);
+      int32_t f = 0;
+      h_b[0] = e_b[0] = h_b[edge] = e_b[edge] = h_c[0] = 0;
+      f = 0;
+      int8_t* dline = direction.data() + static_cast<size_t>(width_d) * i * 3;
+      for (int32_t j = beg; j <= end; ++j) {
+        u = set_u(i, j);
+        int32_t e_idx = set_u(i - 1, j);
+        int32_t b_idx = set_u(i, j - 1);
+        int32_t d_idx = set_u(i - 1, j - 1);
+        int32_t de = set_d(i, j, 0), df = set_d(i, j, 1), dh = set_d(i, j, 2);
+
+        int32_t t1 = (i == 0) ? -gap_open : h_b[e_idx] - gap_open;
+        int32_t t2 = (i == 0) ? -gap_extend : e_b[e_idx] - gap_extend;
+        e_b[u] = std::max(t1, t2);
+        dline[de] = t1 > t2 ? 3 : 2;
+
+        t1 = h_c[b_idx] - gap_open;
+        t2 = f - gap_extend;
+        f = std::max(t1, t2);
+        dline[df] = t1 > t2 ? 5 : 4;
+
+        int32_t e1 = std::max(e_b[u], 0);
+        int32_t f1 = std::max(f, 0);
+        t1 = std::max(e1, f1);
+        t2 = h_b[d_idx] + mat[ref[j] * kAlpha + read[i]];
+        h_c[u] = std::max(t1, t2);
+        if (h_c[u] > max) max = h_c[u];
+        if (t1 <= t2)
+          dline[dh] = 1;
+        else
+          dline[dh] = e1 > f1 ? dline[de] : dline[df];
+      }
+      for (int32_t j = 1; j <= u; ++j) h_b[j] = h_c[j];
+    }
+    band_width *= 2;
+  } while (max < score);
+  band_width /= 2;
+
+  // traceback (reverse order; ops reversed at the end)
+  std::vector<uint32_t> rev;
+  int32_t i = read_len - 1, j = ref_len - 1, run = 0, state = 2;
+  char op = 'M', prev_op = 'M';
+  const int8_t* dline =
+      direction.data() + static_cast<size_t>(width_d) * i * 3;
+  while (i > 0) {
+    int32_t idx = set_d(i, j, state);
+    switch (dline[idx]) {
+      case 1:
+        --i; --j; state = 2; dline -= width_d * 3; op = 'M'; break;
+      case 2:
+        --i; state = 0; dline -= width_d * 3; op = 'I'; break;
+      case 3:
+        --i; state = 2; dline -= width_d * 3; op = 'I'; break;
+      case 4:
+        --j; state = 1; op = 'D'; break;
+      case 5:
+        --j; state = 2; op = 'D'; break;
+      default:
+        return {};  // traceback inconsistency
+    }
+    if (op == prev_op) {
+      ++run;
+    } else {
+      rev.push_back(cigar_int(run, prev_op));
+      prev_op = op;
+      run = 1;
+    }
+  }
+  if (op == 'M') {
+    rev.push_back(cigar_int(run + 1, op));
+  } else {
+    rev.push_back(cigar_int(run, op));
+    rev.push_back(cigar_int(1, 'M'));
+  }
+  ops.assign(rev.rbegin(), rev.rend());
+  return ops;
+}
+
+}  // namespace
+
+extern "C" {
+
+struct HelenAlignment {
+  int32_t score;
+  int32_t score2;
+  int32_t ref_begin;
+  int32_t ref_end;
+  int32_t query_begin;
+  int32_t query_end;
+  int32_t ref_end2;
+  int32_t cigar_len;  // ops written to cigar_buf; -1 if buffer too small
+};
+
+// Local-align query against ref. cigar_buf receives BAM-coded ops (M/I/D
+// only, the aligned core); the caller adds soft clips from query_begin /
+// query_end. Returns 0 on success.
+int helen_ssw_align(const char* ref, int32_t ref_len, const char* query,
+                    int32_t query_len, int32_t match, int32_t mismatch,
+                    int32_t gap_open, int32_t gap_extend, int32_t mask_len,
+                    int32_t report_cigar, HelenAlignment* out,
+                    uint32_t* cigar_buf, int32_t cigar_cap) {
+  std::memset(out, 0, sizeof(*out));
+  out->ref_begin = -1;
+  out->query_begin = -1;
+  if (ref_len <= 0 || query_len <= 0) return 1;
+
+  int32_t mat[kAlpha * kAlpha];
+  build_matrix(match, mismatch, mat);
+  std::vector<int8_t> ref_t(ref_len), query_t(query_len);
+  translate(ref, ref_len, ref_t.data());
+  translate(query, query_len, query_t.data());
+
+  End best, second;
+  scan_ends(ref_t.data(), 0, ref_len, query_t.data(), query_len, mat,
+            gap_open, gap_extend, /*terminate=*/0, mask_len, &best, &second);
+  out->score = best.score;
+  out->score2 = second.score;
+  out->ref_end = best.ref;
+  out->query_end = best.read;
+  out->ref_end2 = mask_len >= 15 ? second.ref : -1;
+  if (best.score == 0) return 0;  // no alignment; begin/cigar meaningless
+
+  // reverse pass for begin positions (ssw.c ssw_align:858-871)
+  std::vector<int8_t> query_rev(best.read + 1);
+  for (int32_t k = 0; k <= best.read; ++k)
+    query_rev[k] = query_t[best.read - k];
+  End rbest, rsecond;
+  scan_ends(ref_t.data(), 1, best.ref + 1, query_rev.data(), best.read + 1,
+            mat, gap_open, gap_extend, /*terminate=*/best.score, mask_len,
+            &rbest, &rsecond);
+  out->ref_begin = rbest.ref;
+  out->query_begin = best.read - rbest.read;
+
+  if (!report_cigar) return 0;
+  int32_t sub_ref = out->ref_end - out->ref_begin + 1;
+  int32_t sub_read = out->query_end - out->query_begin + 1;
+  int32_t band = std::abs(sub_ref - sub_read) + 1;
+  std::vector<uint32_t> ops = banded_cigar(
+      ref_t.data() + out->ref_begin, query_t.data() + out->query_begin,
+      sub_ref, sub_read, best.score, gap_open, gap_extend, band, mat);
+  if (static_cast<int32_t>(ops.size()) > cigar_cap) {
+    out->cigar_len = -1;
+    return 2;
+  }
+  std::copy(ops.begin(), ops.end(), cigar_buf);
+  out->cigar_len = static_cast<int32_t>(ops.size());
+  return 0;
+}
+
+// Expand (base, rle) label arrays into sequence bytes using the decode map
+// {0:'',1:'A',2:'C',3:'G',4:'T'} x run-length (reference Options.py:3,
+// Stitch.py:244-245). Returns bytes written. The stitch hot loop calls this
+// instead of building Python strings per position.
+int32_t helen_rle_expand(const uint8_t* bases, const uint8_t* rles,
+                         int32_t n, char* out, int32_t cap) {
+  static const char kDecode[5] = {'\0', 'A', 'C', 'G', 'T'};
+  int32_t w = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    uint8_t b = bases[i];
+    uint8_t r = rles[i];
+    if (b == 0 || b > 4 || r == 0) continue;
+    if (w + r > cap) return -1;
+    char c = kDecode[b];
+    for (uint8_t k = 0; k < r; ++k) out[w++] = c;
+  }
+  return w;
+}
+
+}  // extern "C"

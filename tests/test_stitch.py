@@ -1,0 +1,180 @@
+"""Stitch engine tests: native SSW scoring, anchors, region merge, golden stitch."""
+import numpy as np
+import pytest
+
+from helen_tpu.config import STITCH
+from helen_tpu.io.synthetic import random_sequence, write_prediction_file
+from helen_tpu.stitch import Aligner, Alignment, Filter, stitch_contig
+from helen_tpu.stitch.engine import (
+    alignment_stitch,
+    anchor_positions,
+    merge_region_chunks,
+    rle_decode,
+)
+
+
+def slow_local_align_score(ref, query, match=4, mismatch=6, gap_open=8, gap_ext=2):
+    """Plain affine-gap local alignment (Gotoh), max score only.
+
+    Independent oracle for the native SSW scores: a length-L gap costs
+    gap_open + (L-1)*gap_ext.
+    """
+    R, Q = len(ref), len(query)
+    NEG = -(10**9)
+    H = np.zeros((Q + 1, R + 1), dtype=np.int64)
+    E = np.full((Q + 1, R + 1), NEG, dtype=np.int64)  # gap in query (ref consumed)
+    F = np.full((Q + 1, R + 1), NEG, dtype=np.int64)  # gap in ref (query consumed)
+    best = 0
+    for i in range(1, Q + 1):
+        for j in range(1, R + 1):
+            E[i][j] = max(H[i][j - 1] - gap_open, E[i][j - 1] - gap_ext)
+            F[i][j] = max(H[i - 1][j] - gap_open, F[i - 1][j] - gap_ext)
+            s = match if ref[j - 1] == query[i - 1] else -mismatch
+            H[i][j] = max(0, H[i - 1][j - 1] + s, E[i][j], F[i][j])
+            best = max(best, H[i][j])
+    return int(best)
+
+
+def _align(ref, query):
+    a = Aligner(STITCH.match_score, STITCH.mismatch_penalty,
+                STITCH.gap_open_penalty, STITCH.gap_extend_penalty)
+    a.SetReferenceSequence(ref, len(ref))
+    al = Alignment()
+    assert a.Align_cpp(query, Filter(), al, 0)
+    return al
+
+
+def test_ssw_identical():
+    al = _align("ACGTACGTACGT", "ACGTACGTACGT")
+    assert al.best_score == 48
+    assert al.cigar_string == "12="
+    assert al.reference_begin == 0 and al.query_begin == 0
+
+
+def test_ssw_submatch_softclips():
+    al = _align("AAAACGTACGTTTTT", "GGGGCGTACGGGGG")
+    assert al.cigar_string == "4S6=4S"
+    assert al.reference_begin == 4
+    assert al.best_score == 24
+
+
+def test_ssw_mismatch_and_gap():
+    # query has one deletion relative to ref
+    ref = "ACGTAGGCATCAGT"
+    query = "ACGTAGCATCAGT"  # missing one G
+    al = _align(ref, query)
+    # 13 matches (52) - gap open 8 = 44
+    assert al.best_score == 52 - 8
+    assert "D" in al.cigar_string
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_ssw_score_matches_slow_dp(seed):
+    rng = np.random.default_rng(seed)
+    n1, n2 = int(rng.integers(10, 80)), int(rng.integers(10, 80))
+    ref = "".join("ACGT"[i] for i in rng.integers(0, 4, n1))
+    query = "".join("ACGT"[i] for i in rng.integers(0, 4, n2))
+    al = _align(ref, query)
+    assert al.best_score == slow_local_align_score(ref, query)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_ssw_score_on_mutated_overlaps(seed):
+    """The stitch-realistic case: ~200-base near-identical overlaps."""
+    rng = np.random.default_rng(100 + seed)
+    base = random_sequence(200, seed=seed)
+    # mutate a few bases
+    q = list(base)
+    for _ in range(4):
+        i = int(rng.integers(0, len(q)))
+        q[i] = "ACGT"[int(rng.integers(0, 4))]
+    query = "".join(q)
+    al = _align(base, query)
+    assert al.best_score == slow_local_align_score(base, query)
+    pos_a, pos_b = anchor_positions(al.cigar_string, al.reference_begin, 8)
+    assert pos_a >= 0 and pos_b >= 0
+
+
+def test_anchor_positions():
+    # leading soft clip advances query; '='/'X' group into M
+    assert anchor_positions("3S5=1X4=2I10=", 2, 8) == (2, 3)
+    # D advances ref only
+    assert anchor_positions("2D9=", 0, 8) == (2, 0)
+    # grouped M run is 7 < 8, so no anchor
+    assert anchor_positions("4=1X2=", 0, 8) == (-1, -1)
+    # exactly at threshold
+    assert anchor_positions("5=3X", 0, 8) == (0, 0)
+
+
+def test_rle_decode():
+    assert rle_decode(np.array([1, 2, 3, 4, 0]), np.array([1, 2, 3, 1, 5])) == "ACCGGGT"
+    assert rle_decode(np.array([1]), np.array([0])) == ""
+
+
+def test_merge_region_chunks_dedupe_and_order():
+    # chunk 1 covers positions 0..2, chunk 2 covers 2..4 with a conflicting
+    # label at position 2 — first write (chunk 1) must win
+    pos1 = np.array([[0, 0, 0], [1, 0, 0], [2, 0, 0]])
+    pos2 = np.array([[2, 0, 0], [3, 0, 0], [-1, -1, -1]])
+    seq = merge_region_chunks([
+        (pos1, np.array([1, 2, 3]), np.array([1, 1, 1])),
+        (pos2, np.array([4, 4, 1]), np.array([1, 2, 9])),
+    ])
+    assert seq == "ACG" + "TT"  # position 2 decodes as G (first write), padding dropped
+
+
+def test_alignment_stitch_exact_overlap():
+    truth = random_sequence(3000, seed=9)
+    chunks = [
+        ("c", 0, 1200, truth[:1200]),
+        ("c", 1000, 2200, truth[1000:2200]),
+        ("c", 2000, 3000, truth[2000:]),
+    ]
+    contig, start, end, seq = alignment_stitch(chunks)
+    assert seq == truth
+    assert (start, end) == (0, 3000)
+
+
+def test_alignment_stitch_no_overlap_fallback():
+    truth = random_sequence(1000, seed=3)
+    chunks = [("c", 0, 400, truth[:400]), ("c", 600, 1000, truth[600:])]
+    _, _, _, seq = alignment_stitch(chunks)
+    assert seq == truth[:400] + 10 * "N" + truth[600:]
+
+
+def test_golden_stitch_oracle(tmp_path):
+    """Oracle predictions -> stitched FASTA must equal the truth byte-for-byte."""
+    truth = random_sequence(30000, seed=21)
+    path = str(tmp_path / "pred_0.hdf")
+    write_prediction_file(path, {"chrT": truth}, region_cols=900, overlap_cols=80)
+    seq = stitch_contig([path], "chrT", threads=2)
+    assert seq == truth
+
+
+def test_golden_stitch_multifile(tmp_path):
+    """Regions split across two prediction files (as with sharded inference)."""
+    truth = random_sequence(12000, seed=33)
+    p1 = str(tmp_path / "pred_0.hdf")
+    p2 = str(tmp_path / "pred_1.hdf")
+    # write alternating regions into two files by splitting the truth windows:
+    # easiest: both files carry the full oracle; dedupe-by-region at stitch
+    # level uses both files' keys, so split regions manually instead.
+    from helen_tpu.config import IMAGE
+    from helen_tpu.io.prediction_store import PredictionStore
+    from helen_tpu.io.synthetic import partition_regions, rle_encode
+
+    bases, runs = rle_encode(truth, max_run=10)
+    regions = partition_regions(bases, runs, "chrT", region_cols=700, overlap_cols=60)
+    stores = [PredictionStore(p1, "w"), PredictionStore(p2, "w")]
+    for i, region in enumerate(regions):
+        ncols = region.bases.shape[0]
+        position = np.zeros((ncols, 3), dtype=np.int64)
+        position[:, 0] = np.arange(region.col_start, region.col_start + ncols)
+        stores[i % 2].write_prediction(
+            "chrT", region.contig_start, region.contig_end, 0,
+            position, region.bases, region.runs,
+        )
+    for s in stores:
+        s.close()
+    seq = stitch_contig([p1, p2], "chrT", threads=2)
+    assert seq == truth
