@@ -1,0 +1,205 @@
+"""Command-line interface for helen_tpu.
+
+Covers the reference's two CLIs in one tool:
+  * ``helen`` (helen/helen.py:241-357): polish, call_consensus, stitch,
+    download_models, torch_stat (here: ``devices``), version;
+  * ``helen_train`` (helen/helen_train.py:194-269): train, test.
+
+Run as ``python -m helen_tpu`` or via the ``helen_tpu`` console script.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_common_consensus_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-i", "--image_dir", required=True,
+                   help="directory of MarginPolish image files (*.h5)")
+    p.add_argument("-m", "--model_path", required=True,
+                   help="trained model (.pkl reference checkpoint or .npz native)")
+    p.add_argument("-b", "--batch_size", type=int, default=512)
+    p.add_argument("-w", "--num_workers", type=int, default=8,
+                   help="host threads for image loading")
+    p.add_argument("-o", "--output_dir", default="./output/")
+    p.add_argument("--resume", action="store_true",
+                   help="skip images already present in the output store")
+    p.add_argument("--no_data_parallel", action="store_true",
+                   help="disable sharding over local devices")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace here")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="helen_tpu",
+        description="TPU-native assembly polisher (HELEN-compatible pipeline)",
+    )
+    sub = parser.add_subparsers(dest="command")
+
+    p = sub.add_parser("polish", help="images -> consensus -> stitch -> polished FASTA")
+    _add_common_consensus_args(p)
+    p.add_argument("-t", "--threads", type=int, default=4, help="stitch process count")
+    p.add_argument("-p", "--output_prefix", default="HELEN_prediction")
+
+    p = sub.add_parser("call_consensus", help="run model inference, write prediction HDF5")
+    _add_common_consensus_args(p)
+    p.add_argument("-p", "--output_prefix", default="helen_predictions")
+
+    p = sub.add_parser("stitch", help="stitch prediction HDF5 files into FASTA")
+    p.add_argument("-i", "--input_dir", required=True,
+                   help="directory containing prediction (*.hdf) files")
+    p.add_argument("-o", "--output_dir", default="./output/")
+    p.add_argument("-p", "--output_prefix", default="HELEN_prediction")
+    p.add_argument("-t", "--threads", type=int, default=4)
+
+    p = sub.add_parser("train", help="train the transducer model")
+    p.add_argument("--train_image_dir", required=True)
+    p.add_argument("--test_image_dir", required=True)
+    p.add_argument("-b", "--batch_size", type=int, default=100)
+    p.add_argument("-e", "--epoch_size", type=int, default=10, help="epochs to run")
+    p.add_argument("-w", "--num_workers", type=int, default=16)
+    p.add_argument("-o", "--model_out", default="./model_out/",
+                   help="output dir for checkpoints and stats")
+    p.add_argument("--retrain_model_path", default=None,
+                   help="checkpoint to continue training from")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--decay", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=42)
+
+    p = sub.add_parser("test", help="evaluate a model on labeled images")
+    p.add_argument("--test_image_dir", required=True)
+    p.add_argument("-m", "--model_path", required=True)
+    p.add_argument("-b", "--batch_size", type=int, default=100)
+    p.add_argument("-w", "--num_workers", type=int, default=8)
+    p.add_argument("-o", "--output_dir", default="./test_out/")
+    p.add_argument("--debug_mismatches", action="store_true",
+                   help="dump per-position mismatches with feature rendering")
+
+    p = sub.add_parser("download_models", help="download released model checkpoints")
+    p.add_argument("-o", "--output_dir", required=True)
+    p.add_argument("--manifest_url", default=None)
+
+    sub.add_parser("devices", help="show JAX devices and platform info (reference: torch_stat)")
+    sub.add_parser("version", help="print version")
+    return parser
+
+
+def cmd_devices() -> None:
+    import jax
+
+    print(f"jax {jax.__version__}")
+    print(f"default backend: {jax.default_backend()}")
+    print(f"process {jax.process_index()}/{jax.process_count()}")
+    for d in jax.devices():
+        print(f"  {d.id}: {d.device_kind} (platform={d.platform}, "
+              f"process={d.process_index})")
+    print(f"local devices: {jax.local_device_count()}, total: {jax.device_count()}")
+
+
+def main(argv=None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.command is None:
+        parser.print_help()
+        return 1
+
+    if args.command == "version":
+        from helen_tpu.version import __version__
+
+        print(f"helen_tpu {__version__}")
+        return 0
+
+    if args.command == "devices":
+        cmd_devices()
+        return 0
+
+    if args.command == "polish":
+        from helen_tpu.infer.polish import polish
+
+        fasta = polish(
+            image_dir=args.image_dir,
+            model_path=args.model_path,
+            output_dir=args.output_dir,
+            batch_size=args.batch_size,
+            num_workers=args.num_workers,
+            threads=args.threads,
+            output_prefix=args.output_prefix,
+            resume=args.resume,
+            profile_dir=args.profile_dir,
+        )
+        print(fasta)
+        return 0
+
+    if args.command == "call_consensus":
+        from helen_tpu.infer.consensus import call_consensus
+
+        files = call_consensus(
+            image_dir=args.image_dir,
+            model_path=args.model_path,
+            output_dir=args.output_dir,
+            batch_size=args.batch_size,
+            num_workers=args.num_workers,
+            output_prefix=args.output_prefix,
+            resume=args.resume,
+            data_parallel=not args.no_data_parallel,
+            profile_dir=args.profile_dir,
+        )
+        for f in files:
+            print(f)
+        return 0
+
+    if args.command == "stitch":
+        from helen_tpu.infer.polish import perform_stitch
+
+        fasta = perform_stitch(
+            input_directory=args.input_dir,
+            output_dir=args.output_dir,
+            output_prefix=args.output_prefix,
+            threads=args.threads,
+        )
+        print(fasta)
+        return 0
+
+    if args.command == "train":
+        from helen_tpu.train.train_loop import train_interface
+
+        train_interface(
+            train_dir=args.train_image_dir,
+            test_dir=args.test_image_dir,
+            batch_size=args.batch_size,
+            epochs=args.epoch_size,
+            num_workers=args.num_workers,
+            output_dir=args.model_out,
+            retrain_model_path=args.retrain_model_path,
+            learning_rate=args.lr,
+            weight_decay=args.decay,
+            seed=args.seed,
+        )
+        return 0
+
+    if args.command == "test":
+        from helen_tpu.train.evaluate import test_interface
+
+        test_interface(
+            test_dir=args.test_image_dir,
+            model_path=args.model_path,
+            batch_size=args.batch_size,
+            num_workers=args.num_workers,
+            output_dir=args.output_dir,
+            debug_mismatches=args.debug_mismatches,
+        )
+        return 0
+
+    if args.command == "download_models":
+        from helen_tpu.io.download import download_models
+
+        download_models(args.output_dir, args.manifest_url)
+        return 0
+
+    parser.error(f"unknown command {args.command}")
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

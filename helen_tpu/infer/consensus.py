@@ -1,0 +1,191 @@
+"""Consensus calling: batched TPU inference over MarginPolish images.
+
+Replaces the reference's process-per-GPU + DataLoader architecture
+(predict_gpu.py:38-226, CallConsensusInterface.py:96-153) with a single
+process driving all local devices: one jitted XLA program computes the whole
+19-window vote + argmax per batch (see models.transducer.consensus_probs),
+images stream in via a thread-pool prefetcher, and per-image predictions are
+written to a resumable HDF5 store. Multi-device execution shards the batch
+across a 1-D device mesh with jax.sharding — no process spawning, no gloo.
+
+Per the reference contract, uint8 images are converted to float32 and the
+window/vote arithmetic replayed exactly, so labels match the reference
+implementation bit-for-bit (verified in tests/test_model_parity.py).
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from helen_tpu.config import IMAGE, MODEL, WINDOW
+from helen_tpu.io.checkpoint import load_model_any
+from helen_tpu.io.images import MarginPolishDataset, batched_image_iterator
+from helen_tpu.io.prediction_store import PredictionStore
+from helen_tpu.obs import StageTimer, Throughput, get_logger, profile_trace
+from helen_tpu.utils.filesystem import ensure_output_dir, list_image_files
+
+log = get_logger("consensus")
+
+
+class ConsensusStep:
+    """Jitted consensus function with async submit/read for pipelining.
+
+    ``submit`` dispatches a batch and returns immediately with device-array
+    handles (JAX async dispatch); ``read`` blocks and returns numpy labels.
+    This lets the driver overlap host<->device transfers and HDF5 writes of
+    batch k with TPU compute of batch k+1.
+    """
+
+    def __init__(self, params, data_parallel: bool = True, precision=None):
+        import jax
+        import jax.numpy as jnp
+
+        from helen_tpu.models.transducer import consensus_labels
+
+        devices = jax.local_devices()
+        self.shard_multiple = len(devices) if data_parallel else 1
+
+        def fn(p, images_u8):
+            images = images_u8.astype(jnp.float32)
+            return consensus_labels(p, images, WINDOW, MODEL, precision=precision)
+
+        if self.shard_multiple > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            mesh = Mesh(np.asarray(devices), ("data",))
+            replicated = NamedSharding(mesh, P())
+            batch_sharded = NamedSharding(mesh, P("data"))
+            self._params = jax.device_put(params, replicated)
+            self._jfn = jax.jit(
+                fn,
+                in_shardings=(replicated, batch_sharded),
+                out_shardings=(batch_sharded, batch_sharded),
+            )
+        else:
+            self._params = jax.device_put(params)
+            self._jfn = jax.jit(fn)
+
+    def submit(self, images_u8: np.ndarray):
+        return self._jfn(self._params, images_u8)
+
+    @staticmethod
+    def read(handle) -> Tuple[np.ndarray, np.ndarray]:
+        base, rle = handle
+        return np.asarray(base), np.asarray(rle)
+
+    def __call__(self, images_u8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        return self.read(self.submit(images_u8))
+
+
+def make_consensus_step(
+    params,
+    data_parallel: bool = True,
+    precision=None,
+) -> Tuple[ConsensusStep, int]:
+    """Build the jitted consensus step; see ConsensusStep.
+
+    Returns (step, shard_multiple): batch size must be a multiple of
+    shard_multiple (the batch is sharded across local devices on a 1-D
+    'data' mesh when data_parallel and more than one device is present).
+    """
+    step = ConsensusStep(params, data_parallel, precision)
+    return step, step.shard_multiple
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def call_consensus(
+    image_dir: Optional[str] = None,
+    model_path: str = "",
+    output_dir: str = "./output",
+    batch_size: int = 512,
+    num_workers: int = 8,
+    image_files: Optional[Sequence[str]] = None,
+    output_prefix: str = "helen_predictions",
+    resume: bool = False,
+    data_parallel: bool = True,
+    profile_dir: Optional[str] = None,
+    precision=None,
+) -> List[str]:
+    """Run consensus calling over a directory of MarginPolish images.
+
+    Writes ``<output_dir>/<output_prefix>_0.hdf`` (single prediction shard —
+    shard-per-host when running multi-host; see parallel.multihost).
+    Returns the list of prediction files written.
+    """
+    files = list(image_files) if image_files is not None else list_image_files(image_dir)
+    if not files:
+        raise FileNotFoundError(f"no image files found in {image_dir!r}")
+    ensure_output_dir(output_dir)
+    out_path = os.path.join(output_dir, f"{output_prefix}_0.hdf")
+
+    params, meta = load_model_any(model_path)
+    log.info("model loaded from %s (epochs=%s)", model_path, meta.get("epochs"))
+
+    dataset = MarginPolishDataset(files, IMAGE)
+    if len(dataset) == 0:
+        raise ValueError(f"no images found in {len(files)} input files")
+    log.info("%d images across %d files", len(dataset), len(files))
+
+    step, shard_multiple = make_consensus_step(params, data_parallel, precision)
+    eff_batch = _round_up(batch_size, shard_multiple)
+
+    mode = "a" if (resume and os.path.exists(out_path)) else "w"
+    timer = StageTimer()
+    windows = Throughput(unit="windows")
+    n_windows = WINDOW.num_windows(IMAGE.seq_length)
+    written = skipped = 0
+
+    with PredictionStore(out_path, mode) as store, profile_trace(profile_dir):
+        indices = list(range(len(dataset)))
+        windows.start()
+        total_batches = (len(indices) + eff_batch - 1) // eff_batch
+
+        def drain(pending) -> None:
+            nonlocal written
+            b, handle = pending
+            with timer.stage("tpu_read"):
+                base_labels, rle_labels = step.read(handle)
+            windows.add(b.valid * n_windows)
+            with timer.stage("write"):
+                for j, rec in enumerate(b.records):
+                    store.write_prediction(
+                        rec.contig, rec.contig_start, rec.contig_end, rec.chunk_id,
+                        rec.position, base_labels[j], rle_labels[j],
+                    )
+                    written += 1
+
+        # one-batch-deep pipeline: TPU computes batch k+1 while the host
+        # reads back and writes batch k
+        in_flight = None
+        for bi, batch in enumerate(
+            batched_image_iterator(dataset, eff_batch, num_workers, indices=indices)
+        ):
+            if resume:
+                todo = [
+                    j for j, rec in enumerate(batch.records)
+                    if not store.has_chunk(rec.contig, rec.contig_start, rec.contig_end, rec.chunk_id)
+                ]
+                if not todo:
+                    skipped += len(batch.records)
+                    continue
+                skipped += len(batch.records) - len(todo)
+            with timer.stage("tpu_submit"):
+                handle = step.submit(batch.images)
+            if in_flight is not None:
+                drain(in_flight)
+            in_flight = (batch, handle)
+            if bi % 10 == 0:
+                log.info("batch %d/%d  |  %s", bi + 1, total_batches, windows)
+        if in_flight is not None:
+            drain(in_flight)
+        windows.stop()
+
+    log.info("consensus done: %d images written, %d skipped (resume), %s",
+             written, skipped, windows)
+    log.info("stage timings:\n%s", timer.report())
+    return [out_path]

@@ -1,0 +1,86 @@
+"""The polish pipeline: consensus calling then stitching.
+
+Equivalent of the reference PolishInterface.polish_genome
+(PolishInterface.py:49-105): runs call_consensus into a timestamped
+predictions directory inside the output dir, then stitches the predictions
+into a polished FASTA, reporting per-stage elapsed time.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from helen_tpu.io.fasta import write_fasta
+from helen_tpu.io.prediction_store import list_contigs
+from helen_tpu.obs import StageTimer, get_logger
+from helen_tpu.stitch import Stitcher
+from helen_tpu.utils.filesystem import ensure_output_dir, list_prediction_files, timestamped_dir
+
+log = get_logger("polish")
+
+
+def perform_stitch(
+    input_directory: str,
+    output_dir: str,
+    output_prefix: str = "HELEN_prediction",
+    threads: int = 4,
+) -> str:
+    """Stitch all prediction files in a directory into one polished FASTA.
+
+    Equivalent of reference StitchInterface.perform_stitch
+    (StitchInterface.py:40-106). Returns the FASTA path.
+    """
+    prediction_files = list_prediction_files(input_directory)
+    if not prediction_files:
+        raise FileNotFoundError(f"no prediction (*.hdf) files in {input_directory}")
+    contigs = list_contigs(prediction_files)
+    log.info("stitching %d contigs from %d prediction files", len(contigs), len(prediction_files))
+
+    ensure_output_dir(output_dir)
+    fasta_path = os.path.join(output_dir, output_prefix + ".fa")
+    stitcher = Stitcher(threads=threads)
+
+    def records():
+        for i, contig in enumerate(contigs):
+            log.info("%04d/%04d: processing contig %s", i + 1, len(contigs), contig)
+            seq = stitcher.stitch(prediction_files, contig)
+            log.info("%04d/%04d: finished %s, polished length %d",
+                     i + 1, len(contigs), contig, len(seq))
+            yield contig, seq
+
+    n = write_fasta(fasta_path, records())
+    log.info("wrote %d contigs to %s", n, fasta_path)
+    return fasta_path
+
+
+def polish(
+    image_dir: str,
+    model_path: str,
+    output_dir: str = "./output",
+    batch_size: int = 512,
+    num_workers: int = 8,
+    threads: int = 4,
+    output_prefix: str = "HELEN_prediction",
+    resume: bool = False,
+    profile_dir: Optional[str] = None,
+) -> str:
+    """Full polish: images -> consensus -> stitch -> polished FASTA path."""
+    from helen_tpu.infer.consensus import call_consensus
+
+    timer = StageTimer()
+    output_dir = ensure_output_dir(output_dir)
+    pred_dir = timestamped_dir(output_dir, "predictions")
+    with timer.stage("call_consensus"):
+        call_consensus(
+            image_dir=image_dir,
+            model_path=model_path,
+            output_dir=pred_dir,
+            batch_size=batch_size,
+            num_workers=num_workers,
+            resume=resume,
+            profile_dir=profile_dir,
+        )
+    with timer.stage("stitch"):
+        fasta = perform_stitch(pred_dir, output_dir, output_prefix, threads)
+    log.info("polish complete:\n%s", timer.report())
+    return fasta

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import ctypes
+import multiprocessing
 import re
 from typing import Iterable, List, Optional, Sequence, Tuple
 
@@ -216,7 +217,12 @@ class Stitcher:
         if len(groups) == 1 or self.threads == 1:
             results = [_stitch_key_group(contig, g, self.cfg) for g in groups]
         else:
-            with concurrent.futures.ProcessPoolExecutor(max_workers=self.threads) as ex:
+            # spawn (not fork): the parent may hold JAX/TPU runtime threads,
+            # and forking a multithreaded process can deadlock
+            with concurrent.futures.ProcessPoolExecutor(
+                max_workers=self.threads,
+                mp_context=multiprocessing.get_context("spawn"),
+            ) as ex:
                 futures = [
                     ex.submit(_stitch_key_group, contig, g, self.cfg) for g in groups
                 ]
