@@ -1,0 +1,184 @@
+"""Model evaluation: windowed loss + confusion matrices.
+
+Equivalent of the reference test module (models/test.py:39-167) and the
+TestInterface (TestInterface.py:90-139): sliding-window evaluation
+accumulating 5x5 base and 11x11 RLE confusion matrices (rows = truth,
+columns = prediction, torchnet ConfusionMeter convention) and the average
+loss normalized by images-per-window like the reference (test.py:124-125,154).
+
+The reference's ``accuracy`` return value is never computed (stays 0 —
+test.py:72,166, a documented reference bug); here accuracy is computed from
+the confusion-matrix diagonals.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from helen_tpu.config import IMAGE, MODEL, TRAIN, WINDOW
+from helen_tpu.io.images import MarginPolishDataset, batched_image_iterator
+from helen_tpu.obs import get_logger
+from helen_tpu.utils.filesystem import ensure_output_dir, list_image_files
+
+log = get_logger("eval")
+
+
+def make_eval_step(params, precision=None):
+    """Jitted eval over one batch: returns (loss_sum, window_count,
+    base confusion 5x5, rle confusion 11x11)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from helen_tpu.models.transducer import forward, init_hidden
+    from helen_tpu.train.loss import cross_entropy, weighted_cross_entropy
+
+    W = WINDOW.window
+    starts = jnp.asarray(WINDOW.starts(IMAGE.seq_length), dtype=jnp.int32)
+    nb, nr = MODEL.num_base_classes, MODEL.num_rle_classes
+    rle_w = jnp.asarray(TRAIN.rle_class_weights, dtype=jnp.float32)
+
+    def fn(p, images_u8, label_base, label_rle):
+        B, L, F = images_u8.shape
+        images = images_u8.astype(jnp.float32)
+        hidden = init_hidden(B, MODEL)
+        cm_base = jnp.zeros((nb, nb), dtype=jnp.float32)
+        cm_rle = jnp.zeros((nr, nr), dtype=jnp.float32)
+
+        def body(carry, start):
+            hidden, loss_sum, cm_base, cm_rle = carry
+            x = lax.dynamic_slice(images, (0, start, 0), (B, W, F))
+            yb = lax.dynamic_slice(label_base, (0, start), (B, W))
+            yr = lax.dynamic_slice(label_rle, (0, start), (B, W))
+            base, rle, hidden = forward(p, x, hidden, precision=precision)
+            loss = cross_entropy(base, yb) + weighted_cross_entropy(rle, yr, rle_w)
+            pb = jnp.argmax(base, axis=-1).reshape(-1)
+            pr = jnp.argmax(rle, axis=-1).reshape(-1)
+            cm_base = cm_base.at[yb.reshape(-1), pb].add(1.0)
+            cm_rle = cm_rle.at[yr.reshape(-1), pr].add(1.0)
+            return (hidden, loss_sum + loss, cm_base, cm_rle), None
+
+        (hidden, loss_sum, cm_base, cm_rle), _ = lax.scan(
+            body, (hidden, jnp.float32(0.0), cm_base, cm_rle), starts
+        )
+        return loss_sum, cm_base, cm_rle
+
+    jfn = jax.jit(fn)
+
+    def step(images_u8, label_base, label_rle):
+        loss_sum, cm_base, cm_rle = jfn(params, images_u8, label_base, label_rle)
+        return float(loss_sum), np.asarray(cm_base), np.asarray(cm_rle)
+
+    return step
+
+
+def accuracy_from_cm(cm: np.ndarray) -> float:
+    denom = max(1.0, float(cm.sum()))
+    return 100.0 * float(np.trace(cm)) / denom
+
+
+def evaluate(
+    params,
+    test_files,
+    batch_size: int = 100,
+    num_workers: int = 8,
+    precision=None,
+) -> Dict[str, object]:
+    """Evaluate params over labeled images; returns loss, accuracies, CMs."""
+    dataset = MarginPolishDataset(test_files, IMAGE, with_labels=True)
+    if len(dataset) == 0:
+        raise ValueError("no labeled images found for evaluation")
+    step = make_eval_step(params, precision)
+    n_windows = WINDOW.num_windows(IMAGE.seq_length)
+    total_loss = 0.0
+    total_images = 0
+    cm_base = np.zeros((MODEL.num_base_classes, MODEL.num_base_classes))
+    cm_rle = np.zeros((MODEL.num_rle_classes, MODEL.num_rle_classes))
+    for batch in batched_image_iterator(
+        dataset, batch_size, num_workers, pad_final=False
+    ):
+        loss_sum, cb, cr = step(batch.images, batch.labels_base, batch.labels_rle)
+        # reference accounting: loss summed per window, normalized by
+        # images-per-window counts (test.py:124-125,154)
+        total_loss += loss_sum
+        total_images += batch.valid * n_windows
+        cm_base += cb
+        cm_rle += cr
+    avg_loss = total_loss / total_images if total_images else 0.0
+    return {
+        "loss": float(avg_loss),
+        "base_accuracy": accuracy_from_cm(cm_base),
+        "rle_accuracy": accuracy_from_cm(cm_rle),
+        "accuracy": accuracy_from_cm(cm_base),
+        "base_confusion_matrix": cm_base,
+        "rle_confusion_matrix": cm_rle,
+    }
+
+
+def save_confusion_png(cm: np.ndarray, title: str, path: str) -> Optional[str]:
+    """Confusion-matrix heatmap artifact (reference TestInterface.py:24-87)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        log.warning("matplotlib unavailable; skipping confusion PNG")
+        return None
+    fig, ax = plt.subplots(figsize=(6, 5))
+    denom = cm.sum(axis=1, keepdims=True)
+    norm = cm / np.maximum(denom, 1.0)
+    im = ax.imshow(norm, cmap="viridis", vmin=0.0, vmax=1.0)
+    ax.set_xlabel("predicted")
+    ax.set_ylabel("truth")
+    ax.set_title(title)
+    for i in range(cm.shape[0]):
+        for j in range(cm.shape[1]):
+            ax.text(j, i, f"{int(cm[i, j])}", ha="center", va="center",
+                    color="white" if norm[i, j] < 0.5 else "black", fontsize=7)
+    fig.colorbar(im)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
+def test_interface(
+    test_dir: str,
+    model_path: str,
+    batch_size: int = 100,
+    num_workers: int = 8,
+    output_dir: str = "./test_out/",
+    debug_mismatches: bool = False,
+) -> Dict[str, object]:
+    """CLI entry: evaluate a model, write confusion artifacts."""
+    import jax.numpy as jnp
+    import jax
+
+    from helen_tpu.io.checkpoint import load_model_any
+
+    params, meta = load_model_any(model_path)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    files = list_image_files(test_dir)
+    stats = evaluate(params, files, batch_size, num_workers)
+    ensure_output_dir(output_dir)
+    log.info("test loss %.6f | base acc %.3f%% | rle acc %.3f%%",
+             stats["loss"], stats["base_accuracy"], stats["rle_accuracy"])
+    np.set_printoptions(linewidth=200)
+    with open(os.path.join(output_dir, "confusion_matrix.txt"), "w") as f:
+        f.write("base confusion matrix (rows=truth)\n")
+        f.write(str(stats["base_confusion_matrix"].astype(np.int64)) + "\n")
+        f.write("rle confusion matrix (rows=truth)\n")
+        f.write(str(stats["rle_confusion_matrix"].astype(np.int64)) + "\n")
+    save_confusion_png(stats["base_confusion_matrix"], "base classes",
+                       os.path.join(output_dir, "base_confusion.png"))
+    save_confusion_png(stats["rle_confusion_matrix"], "RLE classes",
+                       os.path.join(output_dir, "rle_confusion.png"))
+    if debug_mismatches:
+        from helen_tpu.eval.debug import dump_mismatches
+
+        dump_mismatches(params, files, os.path.join(output_dir, "mismatches.txt"),
+                        batch_size=batch_size, num_workers=num_workers)
+    return stats

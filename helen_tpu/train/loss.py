@@ -1,0 +1,54 @@
+"""Multi-task classification losses.
+
+Matches torch ``nn.CrossEntropyLoss`` semantics used by the reference
+(train.py:121-126): the base head uses unweighted mean cross-entropy; the RLE
+head uses class-weighted cross-entropy where the mean is normalized by the
+sum of the selected class weights (torch's weighted-mean convention), with
+the 11 RLE class weights from Options.py:29.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean softmax cross-entropy. logits (..., C), labels (...) int."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return -jnp.mean(ll)
+
+
+def weighted_cross_entropy(
+    logits: jnp.ndarray, labels: jnp.ndarray, class_weights: jnp.ndarray
+) -> jnp.ndarray:
+    """Class-weighted CE with torch normalization: sum(w_y * ce) / sum(w_y)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    w = class_weights[labels]
+    return -(w * ll).sum() / w.sum()
+
+
+def masked_cross_entropy(
+    logits: jnp.ndarray, labels: jnp.ndarray, row_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Mean CE over rows where row_mask (shape (B,)) is 1 — used when a batch
+    is padded to a device-count multiple; numerically identical to
+    cross_entropy over the unpadded rows."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]  # (B, W)
+    m = row_mask[:, None]
+    denom = jnp.maximum(m.sum() * ll.shape[1], 1.0)
+    return -(ll * m).sum() / denom
+
+
+def masked_weighted_cross_entropy(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    class_weights: jnp.ndarray,
+    row_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    w = class_weights[labels] * row_mask[:, None]
+    return -(w * ll).sum() / jnp.maximum(w.sum(), 1e-12)

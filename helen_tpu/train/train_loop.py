@@ -1,0 +1,337 @@
+"""Training loop: truncated-BPTT multi-task training of the transducer.
+
+Reference semantics preserved (train.py:144-250, train_distributed.py:54-276):
+
+  * each 1000-column labeled image is processed as 19 overlapping 100-column
+    windows; each window is an independent optimization step (Adam) with the
+    recurrent hidden state carried forward as data (truncated BPTT — the
+    reference detaches hidden, train.py:212; here each window has its own
+    value_and_grad so truncation is structural);
+  * loss = mean CE(base) + class-weighted CE(rle);
+  * Adam(lr=1e-4, weight_decay=0 by default, torch L2 convention);
+  * ReduceLROnPlateau(min) stepped on the held-out loss each epoch
+    (the reference only does this in the single-process path, train.py:113;
+    the distributed path silently lacks it — we schedule everywhere);
+  * per-epoch: evaluation, checkpoint (never pruned), train/test CSV logs and
+    a confusion-matrix text log.
+
+TPU-native differences: the whole per-batch TBPTT loop (19 windows x
+grad+Adam update) compiles to ONE XLA program (lax.scan with params in the
+carry); data parallelism is a batch-sharded 1-D mesh with XLA-inserted
+gradient reductions instead of process-per-GPU DDP + gloo.
+"""
+from __future__ import annotations
+
+import csv
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from helen_tpu.config import IMAGE, MODEL, TRAIN, WINDOW, TrainConfig
+from helen_tpu.io.checkpoint import load_checkpoint, load_model_any, save_checkpoint
+from helen_tpu.io.images import MarginPolishDataset, batched_image_iterator
+from helen_tpu.obs import StageTimer, Throughput, get_logger
+from helen_tpu.train.evaluate import evaluate
+from helen_tpu.utils.filesystem import ensure_output_dir, list_image_files, timestamped_dir
+
+log = get_logger("train")
+
+
+class PlateauScheduler:
+    """ReduceLROnPlateau('min') with torch defaults: factor 0.1, patience 10,
+    relative threshold 1e-4 (reference train.py:113)."""
+
+    def __init__(self, lr: float, factor: float = 0.1, patience: int = 10,
+                 threshold: float = 1e-4, min_lr: float = 0.0):
+        self.lr = lr
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.num_bad = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.lr = max(self.min_lr, self.lr * self.factor)
+                self.num_bad = 0
+                log.info("plateau: reducing lr to %g", self.lr)
+        return self.lr
+
+    def state_dict(self) -> Dict[str, float]:
+        return {"lr": self.lr, "best": self.best, "num_bad": self.num_bad}
+
+    def load_state_dict(self, d: Dict[str, float]) -> None:
+        self.lr = d["lr"]
+        self.best = d["best"]
+        self.num_bad = int(d["num_bad"])
+
+
+def make_optimizer(weight_decay: float = 0.0):
+    """Adam moments; the step size is applied per-call so the host-side
+    plateau scheduler can change it without re-jitting."""
+    import optax
+
+    if weight_decay:
+        # torch Adam convention: L2 added to the gradient before the moments
+        return optax.chain(optax.add_decayed_weights(weight_decay), optax.scale_by_adam())
+    return optax.scale_by_adam()
+
+
+def make_train_step(tx, data_parallel: bool = False, precision=None):
+    """Build the jitted per-batch TBPTT step.
+
+    Signature: (params, opt_state, lr, images_u8, label_base, label_rle,
+    valid) -> (params, opt_state, loss_sum, base_loss_sum, rle_loss_sum).
+    ``valid`` is the number of real rows — batches are padded to a
+    device-count multiple and padding rows are masked out of both losses, so
+    the result is numerically identical to the reference's unpadded batches.
+    Loss sums are summed over the 19 windows (each a mean over valid*W
+    positions), matching the reference accounting (train.py:206-208).
+
+    Returns (step_fn, shard_multiple).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax import lax
+
+    from helen_tpu.models.transducer import forward, init_hidden
+    from helen_tpu.train.loss import masked_cross_entropy, masked_weighted_cross_entropy
+
+    W = WINDOW.window
+    starts = jnp.asarray(WINDOW.starts(IMAGE.seq_length), dtype=jnp.int32)
+    rle_w = jnp.asarray(TRAIN.rle_class_weights, dtype=jnp.float32)
+
+    def window_loss(p, x, hidden, yb, yr, row_mask):
+        base, rle, hidden_new = forward(p, x, hidden, precision=precision)
+        lb = masked_cross_entropy(base, yb, row_mask)
+        lr_ = masked_weighted_cross_entropy(rle, yr, rle_w, row_mask)
+        return lb + lr_, (lb, lr_, hidden_new)
+
+    grad_fn = jax.value_and_grad(window_loss, has_aux=True)
+
+    def fn(params, opt_state, lr, images_u8, label_base, label_rle, valid):
+        B, L, F = images_u8.shape
+        images = images_u8.astype(jnp.float32)
+        hidden = init_hidden(B, MODEL)
+        row_mask = (jnp.arange(B) < valid).astype(jnp.float32)
+
+        def body(carry, start):
+            params, opt_state, hidden, tot, tot_b, tot_r = carry
+            x = lax.dynamic_slice(images, (0, start, 0), (B, W, F))
+            yb = lax.dynamic_slice(label_base, (0, start), (B, W))
+            yr = lax.dynamic_slice(label_rle, (0, start), (B, W))
+            (loss, (lb, lr_, hidden)), grads = grad_fn(
+                params, x, hidden, yb, yr, row_mask
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, hidden, tot + loss, tot_b + lb, tot_r + lr_), None
+
+        init = (params, opt_state, hidden, jnp.float32(0), jnp.float32(0), jnp.float32(0))
+        (params, opt_state, _, tot, tot_b, tot_r), _ = lax.scan(body, init, starts)
+        return params, opt_state, tot, tot_b, tot_r
+
+    if data_parallel and len(jax.local_devices()) > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devices = jax.local_devices()
+        mesh = Mesh(np.asarray(devices), ("data",))
+        rep = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P("data"))
+        jfn = jax.jit(
+            fn,
+            in_shardings=(rep, rep, rep, shard, shard, shard, rep),
+            out_shardings=(rep, rep, rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+        return jfn, len(devices)
+    return jax.jit(fn, donate_argnums=(0, 1)), 1
+
+
+@dataclass
+class EpochStats:
+    epoch: int
+    train_loss: float
+    test_loss: float
+    base_accuracy: float
+    rle_accuracy: float
+
+
+class Trainer:
+    """Single-host trainer (all local devices via batch sharding)."""
+
+    def __init__(
+        self,
+        train_files: Sequence[str],
+        test_files: Sequence[str],
+        cfg: TrainConfig = TRAIN,
+        model_dir: str = "./model_out/models",
+        stats_dir: str = "./model_out/stats",
+        num_workers: int = 8,
+        retrain_model_path: Optional[str] = None,
+        data_parallel: bool = True,
+        precision=None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from helen_tpu.models.transducer import init_params, num_params
+
+        self.cfg = cfg
+        self.train_files = list(train_files)
+        self.test_files = list(test_files)
+        self.model_dir = ensure_output_dir(model_dir)
+        self.stats_dir = ensure_output_dir(stats_dir)
+        self.num_workers = num_workers
+        self.precision = precision
+
+        self.tx = make_optimizer(cfg.weight_decay)
+        self.start_epoch = 0
+        if retrain_model_path:
+            params, meta = load_model_any(retrain_model_path)
+            self.params = jax.tree_util.tree_map(jnp.asarray, params)
+            self.start_epoch = int(meta.get("epochs", 0))
+            opt_template = self.tx.init(self.params)
+            if retrain_model_path.endswith(".npz"):
+                _, _, opt_state = load_checkpoint(retrain_model_path, opt_template)
+                self.opt_state = opt_state if opt_state is not None else opt_template
+            else:
+                self.opt_state = opt_template
+            log.info("retraining from %s (epoch %d)", retrain_model_path, self.start_epoch)
+        else:
+            self.params = init_params(jax.random.PRNGKey(cfg.seed), MODEL)
+            self.opt_state = self.tx.init(self.params)
+        log.info("model parameters: %d", num_params(self.params))
+
+        self.scheduler = PlateauScheduler(
+            cfg.learning_rate, cfg.plateau_factor, cfg.plateau_patience
+        )
+        self.step_fn, self.shard_multiple = make_train_step(self.tx, data_parallel, precision)
+        self.eff_batch = -(-cfg.batch_size // self.shard_multiple) * self.shard_multiple
+        self.dataset = MarginPolishDataset(self.train_files, IMAGE, with_labels=True)
+        if len(self.dataset) == 0:
+            raise ValueError("no labeled training images found")
+        log.info("training on %d images, evaluating on %d files",
+                 len(self.dataset), len(self.test_files))
+
+    def train_one_epoch(self, epoch: int, rng: np.random.Generator) -> float:
+        import jax.numpy as jnp
+
+        indices = rng.permutation(len(self.dataset)).tolist()
+        total_loss = 0.0
+        total_images = 0
+        n_windows = WINDOW.num_windows(IMAGE.seq_length)
+        tp = Throughput(unit="windows")
+        tp.start()
+        csv_path = os.path.join(self.stats_dir, "train_loss.csv")
+        with open(csv_path, "a", newline="") as f:
+            writer = csv.writer(f)
+            for bi, batch in enumerate(
+                batched_image_iterator(
+                    self.dataset, self.eff_batch, self.num_workers,
+                    indices=indices, pad_final=True,
+                )
+            ):
+                self.params, self.opt_state, tot, tot_b, tot_r = self.step_fn(
+                    self.params, self.opt_state, jnp.float32(self.scheduler.lr),
+                    batch.images, batch.labels_base.astype(np.int32),
+                    batch.labels_rle.astype(np.int32), batch.valid,
+                )
+                tot = float(tot)
+                total_loss += tot
+                total_images += batch.valid * n_windows
+                tp.add(batch.valid * n_windows)
+                avg = total_loss / max(1, total_images)
+                writer.writerow([epoch + 1, bi + 1, avg])
+                if bi % 20 == 0:
+                    log.info("epoch %d batch %d: avg loss %.6f | %s",
+                             epoch + 1, bi + 1, avg, tp)
+        tp.stop()
+        return total_loss / max(1, total_images)
+
+    def run(self, epochs: int) -> List[EpochStats]:
+        rng = np.random.default_rng(self.cfg.seed)
+        history: List[EpochStats] = []
+        end_epoch = self.start_epoch + epochs
+        test_csv = os.path.join(self.stats_dir, "test_loss.csv")
+        cm_log = os.path.join(self.stats_dir, "confusion_matrix.txt")
+        for epoch in range(self.start_epoch, end_epoch):
+            t0 = time.time()
+            train_loss = self.train_one_epoch(epoch, rng)
+            stats = evaluate(
+                self.params, self.test_files, self.cfg.batch_size,
+                self.num_workers, self.precision,
+            )
+            self.scheduler.step(stats["loss"])
+            ckpt = os.path.join(
+                self.model_dir, f"HELEN_epoch_{epoch + 1}_checkpoint.npz"
+            )
+            save_checkpoint(
+                ckpt, self.params,
+                meta={
+                    "epochs": epoch + 1,
+                    "hidden_size": MODEL.hidden_size,
+                    "gru_layers": MODEL.gru_layers,
+                    "scheduler": self.scheduler.state_dict(),
+                },
+                opt_state=self.opt_state,
+            )
+            with open(test_csv, "a", newline="") as f:
+                csv.writer(f).writerow([epoch + 1, stats["loss"], stats["base_accuracy"]])
+            with open(cm_log, "a") as f:
+                f.write(f"{epoch + 1}\n{stats['base_confusion_matrix'].astype(np.int64)}\n")
+            log.info(
+                "epoch %d done in %.1fs: train loss %.6f | test loss %.6f | "
+                "base acc %.2f%% | rle acc %.2f%% | saved %s",
+                epoch + 1, time.time() - t0, train_loss, stats["loss"],
+                stats["base_accuracy"], stats["rle_accuracy"], ckpt,
+            )
+            history.append(EpochStats(
+                epoch + 1, train_loss, stats["loss"],
+                stats["base_accuracy"], stats["rle_accuracy"],
+            ))
+        return history
+
+
+def train_interface(
+    train_dir: str,
+    test_dir: str,
+    batch_size: int = 100,
+    epochs: int = 10,
+    num_workers: int = 16,
+    output_dir: str = "./model_out/",
+    retrain_model_path: Optional[str] = None,
+    learning_rate: float = 1e-4,
+    weight_decay: float = 0.0,
+    seed: int = 42,
+) -> List[EpochStats]:
+    """CLI entry: timestamped model/stats dirs like the reference
+    (TrainInterface.py + FileManager.py:25-48)."""
+    import dataclasses as _dc
+
+    cfg = _dc.replace(
+        TRAIN, batch_size=batch_size, learning_rate=learning_rate,
+        weight_decay=weight_decay, seed=seed,
+    )
+    run_dir = timestamped_dir(output_dir, "trained_models")
+    trainer = Trainer(
+        train_files=list_image_files(train_dir),
+        test_files=list_image_files(test_dir),
+        cfg=cfg,
+        model_dir=os.path.join(run_dir, "models"),
+        stats_dir=os.path.join(run_dir, "stats"),
+        num_workers=num_workers,
+        retrain_model_path=retrain_model_path,
+    )
+    return trainer.run(epochs)
