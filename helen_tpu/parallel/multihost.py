@@ -1,0 +1,91 @@
+"""Multi-host execution utilities.
+
+Replaces the reference's localhost-only gloo rendezvous
+(predict_gpu.py:186-191, train_distributed.py:284-288) with
+``jax.distributed`` + jax.sharding:
+
+  * ``initialize()`` joins the job (coordinator from env/args) — after it,
+    ``jax.devices()`` spans all hosts and the mesh helpers in
+    helen_tpu.parallel.mesh build global meshes whose collectives ride ICI
+    within a slice and DCN across slices;
+  * inference shards **files per host** (the reference's caller-sharding,
+    CallConsensusInterface.py:134-145, but host-granular): each host runs the
+    local consensus driver over its file shard and writes
+    ``<prefix>_<host>.hdf`` — zero cross-host communication, embarrassingly
+    parallel, and stitch consumes all shards;
+  * training uses a global-mesh sharded step (parallel.sharding) — gradient
+    psum is inserted by XLA; eval confusion matrices are summed across hosts
+    with ``multihost_utils.process_allgather``.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from helen_tpu.obs import get_logger
+
+log = get_logger("multihost")
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Join a multi-host JAX job. No-op for single-process runs (the
+    default when no coordinator is configured)."""
+    import jax
+
+    if num_processes in (None, 1) and not coordinator_address and not os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    ):
+        log.info("single-process run (no coordinator configured)")
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    log.info(
+        "joined distributed job: process %d/%d, %d local / %d global devices",
+        jax.process_index(), jax.process_count(),
+        jax.local_device_count(), jax.device_count(),
+    )
+
+
+def host_file_shard(files: Sequence[str], process_index: Optional[int] = None,
+                    process_count: Optional[int] = None) -> List[str]:
+    """This host's round-robin shard of the input files (deterministic across
+    hosts; mirrors the reference round-robin, CallConsensusInterface.py:134-145)."""
+    import jax
+
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return [f for i, f in enumerate(sorted(files)) if i % pc == pi]
+
+
+def allsum_hosts(array: np.ndarray) -> np.ndarray:
+    """Sum a small host-local numpy array (e.g. a confusion matrix) across
+    all hosts. Identity in single-process runs."""
+    import jax
+
+    if jax.process_count() == 1:
+        return array
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(array)
+    return np.asarray(gathered).sum(axis=0)
+
+
+def barrier(name: str = "helen_tpu") -> None:
+    """Cross-host sync point (replaces the reference's dist.barrier,
+    train_distributed.py:243,253)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)

@@ -1,0 +1,126 @@
+"""Sharded train/inference steps over a ("data", "model") mesh.
+
+Parallelism mapping for the transducer (a 470K-param bi-GRU — the reference's
+own story is file-sharding + DDP over gloo, SURVEY.md §2.3; the TPU-native
+equivalents):
+
+  * **data parallel**: image batches sharded on the "data" axis; gradient
+    reduction is inserted by XLA (GSPMD) because params are replicated across
+    that axis — the psum rides ICI, replacing DDP/gloo all-reduce;
+  * **tensor (model) parallel**: the GRU gate projections are sharded on
+    their 3H output axis and the classifier heads on their 2H input axis over
+    the "model" axis; XLA inserts the all-gathers/reduce-scatters for the
+    recurrence. For a model this small tp>1 is for correctness/scale testing,
+    not speed;
+  * **pipeline / expert parallel**: structurally inapplicable — the model has
+    two dependent GRU layers (no depth to cut a pipeline worth its bubbles)
+    and no MoE experts. Long-sequence scaling is handled by the pipeline's
+    hierarchical chunking (SURVEY.md §5.7), i.e. the genome — not the model —
+    is the long axis, and it shards on "data".
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+
+def param_partition_specs(params):
+    """PartitionSpec pytree for the transducer params over ("data", "model").
+
+    GRU w_ih/w_hh shard the 3H gate axis; gate biases shard likewise; head
+    weights shard the 2H input axis; head biases are replicated.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    specs = {}
+    for layer in ("encoder", "decoder"):
+        specs[layer] = {}
+        for direction in ("fwd", "bwd"):
+            specs[layer][direction] = {
+                "w_ih": P(None, "model"),
+                "w_hh": P(None, "model"),
+                "b_ih": P("model"),
+                "b_hh": P("model"),
+            }
+    for head in ("base_head", "rle_head"):
+        specs[head] = {"w": P("model", None), "b": P()}
+    return specs
+
+
+def make_sharded_train_step(
+    mesh,
+    tx,
+    image_len: Optional[int] = None,
+    precision=None,
+) -> Callable:
+    """Jit the full TBPTT training step over a ("data", "model") mesh with
+    batch-sharded data and tensor-sharded params.
+
+    Returns step(params, opt_state, lr, images_u8, label_base, label_rle,
+    valid) with params/opt_state sharded per param_partition_specs.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from helen_tpu.train.train_loop import build_tbptt_fn
+
+    fn = build_tbptt_fn(tx, image_len=image_len, precision=precision)
+
+    pspecs = param_partition_specs(None)
+    param_sh = jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), pspecs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    rep = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+
+    # optimizer state mirrors the param tree inside optax structures; let jit
+    # infer it from the params sharding by only constraining params + batch
+    jfn = jax.jit(
+        fn,
+        in_shardings=(param_sh, None, rep, batch_sh, batch_sh, batch_sh, rep),
+        donate_argnums=(0, 1),
+    )
+    return jfn
+
+
+def shard_params(mesh, params):
+    """Place a param pytree on the mesh per param_partition_specs."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    pspecs = param_partition_specs(None)
+    shardings = jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), pspecs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    return jax.device_put(params, shardings)
+
+
+def make_sharded_consensus_fn(mesh, precision=None) -> Callable:
+    """Jit the flagship inference step (full-image windowed vote) over the
+    mesh: batch on "data", params tensor-sharded on "model"."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from helen_tpu.config import MODEL, WINDOW
+    from helen_tpu.models.transducer import consensus_labels
+
+    pspecs = param_partition_specs(None)
+    param_sh = jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), pspecs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    batch_sh = NamedSharding(mesh, P("data"))
+
+    def fn(params, images_u8):
+        images = images_u8.astype(jnp.float32)
+        return consensus_labels(params, images, WINDOW, MODEL, precision=precision)
+
+    return jax.jit(
+        fn,
+        in_shardings=(param_sh, batch_sh),
+        out_shardings=(batch_sh, batch_sh),
+    )

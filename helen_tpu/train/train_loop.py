@@ -86,18 +86,16 @@ def make_optimizer(weight_decay: float = 0.0):
     return optax.scale_by_adam()
 
 
-def make_train_step(tx, data_parallel: bool = False, precision=None):
-    """Build the jitted per-batch TBPTT step.
+def build_tbptt_fn(tx, image_len: int = None, precision=None):
+    """The pure per-batch TBPTT function (unjitted).
 
     Signature: (params, opt_state, lr, images_u8, label_base, label_rle,
     valid) -> (params, opt_state, loss_sum, base_loss_sum, rle_loss_sum).
     ``valid`` is the number of real rows — batches are padded to a
     device-count multiple and padding rows are masked out of both losses, so
     the result is numerically identical to the reference's unpadded batches.
-    Loss sums are summed over the 19 windows (each a mean over valid*W
+    Loss sums are summed over the windows (each a mean over valid*W
     positions), matching the reference accounting (train.py:206-208).
-
-    Returns (step_fn, shard_multiple).
     """
     import jax
     import jax.numpy as jnp
@@ -108,7 +106,7 @@ def make_train_step(tx, data_parallel: bool = False, precision=None):
     from helen_tpu.train.loss import masked_cross_entropy, masked_weighted_cross_entropy
 
     W = WINDOW.window
-    starts = jnp.asarray(WINDOW.starts(IMAGE.seq_length), dtype=jnp.int32)
+    starts = jnp.asarray(WINDOW.starts(image_len or IMAGE.seq_length), dtype=jnp.int32)
     rle_w = jnp.asarray(TRAIN.rle_class_weights, dtype=jnp.float32)
 
     def window_loss(p, x, hidden, yb, yr, row_mask):
@@ -141,6 +139,16 @@ def make_train_step(tx, data_parallel: bool = False, precision=None):
         init = (params, opt_state, hidden, jnp.float32(0), jnp.float32(0), jnp.float32(0))
         (params, opt_state, _, tot, tot_b, tot_r), _ = lax.scan(body, init, starts)
         return params, opt_state, tot, tot_b, tot_r
+
+    return fn
+
+
+def make_train_step(tx, data_parallel: bool = False, precision=None):
+    """Jit the TBPTT step for all local devices (batch-sharded 1-D mesh when
+    data_parallel and more than one device). Returns (step_fn, shard_multiple)."""
+    import jax
+
+    fn = build_tbptt_fn(tx, precision=precision)
 
     if data_parallel and len(jax.local_devices()) > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

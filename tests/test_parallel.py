@@ -1,0 +1,110 @@
+"""Mesh sharding tests on the virtual 8-device CPU mesh."""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helen_tpu.config import MODEL
+from helen_tpu.models.transducer import init_params
+from helen_tpu.parallel.mesh import make_mesh, mesh_shape_for
+from helen_tpu.parallel.multihost import allsum_hosts, host_file_shard, initialize
+from helen_tpu.parallel.sharding import (
+    make_sharded_consensus_fn,
+    make_sharded_train_step,
+    shard_params,
+)
+from helen_tpu.train.train_loop import make_optimizer
+
+
+def test_mesh_shape_for():
+    assert mesh_shape_for(8, 1) == (8, 1)
+    assert mesh_shape_for(8, 2) == (4, 2)
+    assert mesh_shape_for(8, 3) == (4, 2)  # 3 doesn't divide 8 -> fall to 2
+    assert mesh_shape_for(1, 4) == (1, 1)
+
+
+@pytest.mark.parametrize("mp", [1, 2])
+def test_sharded_train_step_runs(mp):
+    mesh = make_mesh(jax.devices(), model_parallel=mp)
+    params = shard_params(mesh, init_params(jax.random.PRNGKey(0), MODEL))
+    tx = make_optimizer(0.0)
+    opt_state = tx.init(params)
+    step = make_sharded_train_step(mesh, tx, image_len=200)
+    rng = np.random.default_rng(0)
+    dp = mesh.devices.shape[0]
+    images = rng.integers(0, 40, size=(dp, 200, 90)).astype(np.uint8)
+    yb = rng.integers(0, 5, size=(dp, 200)).astype(np.int32)
+    yr = rng.integers(0, 11, size=(dp, 200)).astype(np.int32)
+    params, opt_state, loss, lb, lr = step(
+        params, opt_state, jnp.float32(1e-4), images, yb, yr, dp
+    )
+    assert np.isfinite(float(loss))
+
+
+def test_sharded_train_matches_single_device():
+    """dp+tp sharded step must produce the same loss and params as 1 device."""
+    params0 = init_params(jax.random.PRNGKey(1), MODEL)
+    tx = make_optimizer(0.0)
+    rng = np.random.default_rng(3)
+    images = rng.integers(0, 40, size=(8, 200, 90)).astype(np.uint8)
+    yb = rng.integers(0, 5, size=(8, 200)).astype(np.int32)
+    yr = rng.integers(0, 11, size=(8, 200)).astype(np.int32)
+
+    from helen_tpu.train.train_loop import build_tbptt_fn
+
+    fn = build_tbptt_fn(tx, image_len=200, precision=jax.lax.Precision.HIGHEST)
+    single = jax.jit(fn, device=jax.devices()[0])
+    p1, _, loss1, _, _ = single(params0, tx.init(params0), jnp.float32(1e-3),
+                                images, yb, yr, 8)
+
+    mesh = make_mesh(jax.devices(), model_parallel=2)
+    ps = shard_params(mesh, params0)
+    step = make_sharded_train_step(mesh, tx, image_len=200,
+                                   precision=jax.lax.Precision.HIGHEST)
+    p2, _, loss2, _, _ = step(ps, tx.init(ps), jnp.float32(1e-3),
+                              images, yb, yr, 8)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p1["base_head"]["w"]), np.asarray(p2["base_head"]["w"]),
+        atol=1e-5,
+    )
+
+
+def test_sharded_consensus_matches_single_device():
+    params = init_params(jax.random.PRNGKey(2), MODEL)
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 40, size=(8, 1000, 90)).astype(np.uint8)
+
+    from helen_tpu.models.transducer import consensus_labels
+
+    ref_b, ref_r = jax.jit(
+        lambda p, im: consensus_labels(p, im.astype(jnp.float32)),
+        device=jax.devices()[0],
+    )(params, images)
+
+    mesh = make_mesh(jax.devices(), model_parallel=2)
+    fn = make_sharded_consensus_fn(mesh)
+    got_b, got_r = fn(shard_params(mesh, params), images)
+    assert (np.asarray(got_b) == np.asarray(ref_b)).all()
+    assert (np.asarray(got_r) == np.asarray(ref_r)).all()
+
+
+def test_graft_entry():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out[0].shape == (8, 1000)
+    ge.dryrun_multichip(8)
+
+
+def test_multihost_helpers_single_process():
+    initialize()  # no-op
+    files = [f"f{i}.h5" for i in range(5)]
+    assert host_file_shard(files, 0, 2) == ["f0.h5", "f2.h5", "f4.h5"]
+    assert host_file_shard(files, 1, 2) == ["f1.h5", "f3.h5"]
+    cm = np.ones((3, 3))
+    assert (allsum_hosts(cm) == cm).all()
