@@ -1,0 +1,130 @@
+"""Tests for the dev/analysis tools, hyperband, and the marginpolish wrapper."""
+import io
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from helen_tpu.io.synthetic import random_sequence, write_image_file
+from helen_tpu.tools import assess_summary, compare_images, image_viewer, loss_curves
+from helen_tpu.tools import pairwise_alignment, quast_sv_extractor, vcf_remove_phase
+
+
+@pytest.fixture(scope="module")
+def image_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tools")
+    path = str(d / "img.h5")
+    write_image_file(path, {"c": random_sequence(3000, seed=4)}, region_cols=800)
+    return path
+
+
+def test_image_viewer(image_file, capsys):
+    assert image_viewer.main(["-i", image_file, "--labels", "--end", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "true=" in out and "# c:" in out
+
+
+def test_compare_images_identical(image_file, capsys):
+    assert compare_images.main(["-a", image_file, "-b", image_file]) == 0
+    assert "feature mismatches: 0" in capsys.readouterr().out
+
+
+def test_compare_images_different(tmp_path, capsys):
+    a = str(tmp_path / "a.h5")
+    b = str(tmp_path / "b.h5")
+    write_image_file(a, {"c": random_sequence(1000, seed=1)}, region_cols=500)
+    write_image_file(b, {"c": random_sequence(1000, seed=2)}, region_cols=500)
+    assert compare_images.main(["-a", a, "-b", b]) == 1
+
+
+def test_loss_curves(tmp_path, capsys):
+    train = tmp_path / "train_loss.csv"
+    train.write_text("1,1,0.5\n1,2,0.4\n2,1,0.3\n")
+    test = tmp_path / "test_loss.csv"
+    test.write_text("1,0.45,80.0\n2,0.30,92.0\n")
+    assert loss_curves.main(["--train_csv", str(train), "--test_csv", str(test)]) == 0
+    out = capsys.readouterr().out
+    assert "best epoch: 2" in out
+
+
+def test_quast_sv_extractor(tmp_path, capsys):
+    quast = tmp_path / "mis.info"
+    quast.write_text(
+        "relocation between chr1:100-5000 and chr1:9000-12000\n"
+        "inversion at chr2:50-800\n"
+    )
+    bed = tmp_path / "svs.bed"
+    bed.write_text("chr1\t4800\t5200\tDEL\n")
+    assert quast_sv_extractor.main(["-q", str(quast), "-s", str(bed), "--slop", "100"]) == 0
+    out = capsys.readouterr().out
+    assert "misassemblies:        3" in out  # 3 coordinate spans found
+    assert "explained by SVs:     1" in out
+
+
+def test_assess_summary(tmp_path, capsys):
+    s = tmp_path / "summary.txt"
+    s.write_text("name    err_ont 0.001  err_bal 0.0012  iden 0.999\n")
+    assert assess_summary.main([str(s)]) == 0
+    out = capsys.readouterr().out
+    assert "30" in out  # Q30 derived from err_ont 1e-3
+
+
+def test_vcf_remove_phase(tmp_path):
+    vcf = tmp_path / "in.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+        "chr1\t10\t.\tA\tT\t30\tPASS\t.\tGT:PS:DP\t1|0:12345:30\n"
+        "chr1\t20\t.\tC\tG\t30\tPASS\t.\tGT:DP\t0/1:22\n"
+    )
+    out = tmp_path / "out.vcf"
+    assert vcf_remove_phase.main(["-i", str(vcf), "-o", str(out)]) == 0
+    lines = out.read_text().splitlines()
+    assert lines[2].endswith("GT:DP\t0/1:30")  # phased 1|0 -> 0/1, PS dropped
+    assert lines[3].endswith("GT:DP\t0/1:22")  # untouched
+
+
+def test_pairwise_alignment(capsys):
+    a = random_sequence(120, seed=6)
+    b = a[40:100]
+    assert pairwise_alignment.main([a, b]) == 0
+    out = capsys.readouterr().out
+    assert "seed k-mer match: (40, 0)" in out
+    assert "score=240" in out  # 60 matches x 4
+
+
+def test_marginpolish_wrapper_missing_binary(monkeypatch, capsys):
+    from helen_tpu import marginpolish
+
+    monkeypatch.setenv("PATH", "/nonexistent")
+    monkeypatch.delenv("HELEN_TPU_MARGINPOLISH", raising=False)
+    assert marginpolish.main(["--help"]) == 127
+    assert "marginPolish binary not found" in capsys.readouterr().err
+
+
+def test_marginpolish_wrapper_passthrough(tmp_path, monkeypatch, capsys):
+    from helen_tpu import marginpolish
+
+    fake = tmp_path / "marginPolish"
+    fake.write_text("#!/bin/sh\necho polished $@\nexit 0\n")
+    fake.chmod(0o755)
+    monkeypatch.setenv("HELEN_TPU_MARGINPOLISH", str(fake))
+    assert marginpolish.main(["reads.bam", "draft.fa", "params.json"]) == 0
+
+
+def test_hyperband_schedule():
+    from helen_tpu.train.hyperband import Hyperband
+
+    calls = []
+
+    def run_trial(cfg, epochs, state):
+        calls.append((cfg["learning_rate"], epochs, state))
+        # pretend lower lr is better
+        return cfg["learning_rate"], f"state_{len(calls)}"
+
+    hb = Hyperband(run_trial, max_epochs=9, eta=3, seed=1)
+    best = hb.run()
+    assert best.loss == min(c[0] for c in calls)
+    # survivors must have been resumed with their carried state
+    assert any(c[2] is not None for c in calls)
