@@ -35,10 +35,16 @@ def main() -> None:
     n_chips = jax.local_device_count()
     params = jax.device_put(init_params(jax.random.PRNGKey(0)))
 
+    # parity backend (fused Pallas window kernel on TPU — labels bit-identical
+    # to the reference algorithm; --fast/pallas_fast is ~1.5x beyond this);
     # sum-reduce the labels so each step's completion is observable with a
     # scalar readback (full label readback would re-measure relay bandwidth)
+    backend = "pallas" if jax.local_devices()[0].platform in ("tpu", "axon") else "xla"
     fn = jax.jit(
-        lambda p, im: [o.sum() for o in consensus_labels(p, im.astype(jnp.float32))]
+        lambda p, im: [
+            o.sum()
+            for o in consensus_labels(p, im.astype(jnp.float32), backend=backend)
+        ]
     )
 
     rng = np.random.default_rng(0)

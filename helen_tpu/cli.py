@@ -28,6 +28,12 @@ def _add_common_consensus_args(p: argparse.ArgumentParser) -> None:
                    help="disable sharding over local devices")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace here")
+    p.add_argument("--fast", action="store_true",
+                   help="bf16 recurrence (fastest; labels can flip on "
+                        "near-tie votes, so not byte-identical to reference)")
+    p.add_argument("--backend", default=None,
+                   choices=["xla", "pallas", "pallas_fast"],
+                   help="override compute backend (default: pallas on TPU)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -127,6 +133,7 @@ def main(argv=None) -> int:
             output_prefix=args.output_prefix,
             resume=args.resume,
             profile_dir=args.profile_dir,
+            backend="pallas_fast" if args.fast else args.backend,
         )
         print(fasta)
         return 0
@@ -144,6 +151,7 @@ def main(argv=None) -> int:
             resume=args.resume,
             data_parallel=not args.no_data_parallel,
             profile_dir=args.profile_dir,
+            backend="pallas_fast" if args.fast else args.backend,
         )
         for f in files:
             print(f)

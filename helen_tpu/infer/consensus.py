@@ -38,7 +38,8 @@ class ConsensusStep:
     batch k with TPU compute of batch k+1.
     """
 
-    def __init__(self, params, data_parallel: bool = True, precision=None):
+    def __init__(self, params, data_parallel: bool = True, precision=None,
+                 backend: Optional[str] = None):
         import jax
         import jax.numpy as jnp
 
@@ -46,10 +47,16 @@ class ConsensusStep:
 
         devices = jax.local_devices()
         self.shard_multiple = len(devices) if data_parallel else 1
+        if backend is None:
+            # the fused Pallas window kernel (bit-identical labels) on TPU;
+            # plain lax.scan elsewhere
+            backend = "pallas" if devices[0].platform in ("tpu", "axon") else "xla"
+        self.backend = backend
 
         def fn(p, images_u8):
             images = images_u8.astype(jnp.float32)
-            return consensus_labels(p, images, WINDOW, MODEL, precision=precision)
+            return consensus_labels(p, images, WINDOW, MODEL,
+                                    precision=precision, backend=backend)
 
         if self.shard_multiple > 1:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -83,6 +90,7 @@ def make_consensus_step(
     params,
     data_parallel: bool = True,
     precision=None,
+    backend: Optional[str] = None,
 ) -> Tuple[ConsensusStep, int]:
     """Build the jitted consensus step; see ConsensusStep.
 
@@ -90,7 +98,7 @@ def make_consensus_step(
     shard_multiple (the batch is sharded across local devices on a 1-D
     'data' mesh when data_parallel and more than one device is present).
     """
-    step = ConsensusStep(params, data_parallel, precision)
+    step = ConsensusStep(params, data_parallel, precision, backend)
     return step, step.shard_multiple
 
 
@@ -110,6 +118,7 @@ def call_consensus(
     data_parallel: bool = True,
     profile_dir: Optional[str] = None,
     precision=None,
+    backend: Optional[str] = None,
 ) -> List[str]:
     """Run consensus calling over a directory of MarginPolish images.
 
@@ -131,7 +140,8 @@ def call_consensus(
         raise ValueError(f"no images found in {len(files)} input files")
     log.info("%d images across %d files", len(dataset), len(files))
 
-    step, shard_multiple = make_consensus_step(params, data_parallel, precision)
+    step, shard_multiple = make_consensus_step(params, data_parallel, precision, backend)
+    log.info("consensus backend: %s", step.backend)
     eff_batch = _round_up(batch_size, shard_multiple)
 
     mode = "a" if (resume and os.path.exists(out_path)) else "w"

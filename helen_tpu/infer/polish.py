@@ -63,6 +63,7 @@ def polish(
     output_prefix: str = "HELEN_prediction",
     resume: bool = False,
     profile_dir: Optional[str] = None,
+    backend: Optional[str] = None,
 ) -> str:
     """Full polish: images -> consensus -> stitch -> polished FASTA path."""
     from helen_tpu.infer.consensus import call_consensus
@@ -79,6 +80,7 @@ def polish(
             num_workers=num_workers,
             resume=resume,
             profile_dir=profile_dir,
+            backend=backend,
         )
     with timer.stage("stitch"):
         fasta = perform_stitch(pred_dir, output_dir, output_prefix, threads)

@@ -64,18 +64,31 @@ def forward(
     x: jnp.ndarray,
     hidden: jnp.ndarray,
     precision=None,
+    backend: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One window of the transducer.
 
     :param x: (B, W, F) float input window
     :param hidden: (B, 2, H) carried hidden ([:, 0] fwd, [:, 1] bwd)
+    :param backend: "xla" (lax.scan recurrence), "pallas" (fused TPU window
+        kernel, helen_tpu.ops.gru_pallas — bit-identical outputs), or
+        "pallas_fast" (bf16 matmuls with f32 accumulation — fastest, not
+        strictly bit-identical)
     :returns: (base logits (B, W, 5), rle logits (B, W, 11), new hidden (B, 2, H))
     """
+    if backend in ("pallas", "pallas_fast"):
+        import functools
+
+        from helen_tpu.ops.gru_pallas import bigru_apply_fused
+
+        _bigru = functools.partial(bigru_apply_fused, fast=backend == "pallas_fast")
+    else:
+        _bigru = bigru_apply
     xt = jnp.swapaxes(x, 0, 1)  # time-major (W, B, F)
-    enc_out, hf, hb = bigru_apply(
+    enc_out, hf, hb = _bigru(
         params["encoder"], xt, hidden[:, 0], hidden[:, 1], precision=precision
     )
-    dec_out, hf2, hb2 = bigru_apply(params["decoder"], enc_out, hf, hb, precision=precision)
+    dec_out, hf2, hb2 = _bigru(params["decoder"], enc_out, hf, hb, precision=precision)
     dec_out = jnp.swapaxes(dec_out, 0, 1)  # (B, W, 2H)
     base = jnp.dot(dec_out, params["base_head"]["w"], precision=precision) + params["base_head"]["b"]
     rle = jnp.dot(dec_out, params["rle_head"]["w"], precision=precision) + params["rle_head"]["b"]
@@ -88,6 +101,7 @@ def consensus_probs(
     window_cfg: WindowConfig = WINDOW,
     model_cfg: ModelConfig = MODEL,
     precision=None,
+    backend: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full-image consensus: sliding windows + softmax-sum overlap voting.
 
@@ -112,7 +126,8 @@ def consensus_probs(
     def body(carry, start):
         hidden, base_acc, rle_acc = carry
         x = lax.dynamic_slice(images, (0, start, 0), (B, W, F))
-        base, rle, hidden = forward(params, x, hidden, precision=precision)
+        base, rle, hidden = forward(params, x, hidden, precision=precision,
+                                    backend=backend)
         bp = jax.nn.softmax(base, axis=-1)
         rp = jax.nn.softmax(rle, axis=-1)
         base_cur = lax.dynamic_slice(base_acc, (0, start, 0), (B, W, nb))
@@ -131,9 +146,12 @@ def consensus_labels(
     window_cfg: WindowConfig = WINDOW,
     model_cfg: ModelConfig = MODEL,
     precision=None,
+    backend: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Vote then argmax (first-max tie-break, same as torch.max) -> uint8 labels."""
-    base_probs, rle_probs = consensus_probs(params, images, window_cfg, model_cfg, precision)
+    base_probs, rle_probs = consensus_probs(
+        params, images, window_cfg, model_cfg, precision, backend
+    )
     return (
         jnp.argmax(base_probs, axis=-1).astype(jnp.uint8),
         jnp.argmax(rle_probs, axis=-1).astype(jnp.uint8),

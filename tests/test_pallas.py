@@ -1,0 +1,45 @@
+"""Fused Pallas GRU kernel tests (interpret mode on CPU; the real-TPU path is
+exercised by bench.py and was verified bit-identical on hardware)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helen_tpu.models.gru import bigru_apply, bigru_init
+from helen_tpu.ops.gru_pallas import _pick_block, bigru_apply_fused
+
+
+def test_pick_block():
+    assert _pick_block(64) == 64
+    assert _pick_block(1024) == 256
+    assert _pick_block(512) == 256
+    assert _pick_block(320) == 160
+
+
+@pytest.mark.parametrize("T,B,D", [(8, 16, 90), (5, 8, 256)])
+def test_fused_matches_scan_interpret(T, B, D):
+    params = jax.tree_util.tree_map(
+        jnp.asarray, bigru_init(jax.random.PRNGKey(0), D, 128)
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((T, B, D)), dtype=jnp.float32)
+    h0f = jnp.asarray(rng.standard_normal((B, 128)), dtype=jnp.float32)
+    h0b = jnp.asarray(rng.standard_normal((B, 128)), dtype=jnp.float32)
+    ref_out, ref_hf, ref_hb = bigru_apply(params, x, h0f, h0b)
+    got_out, got_hf, got_hb = bigru_apply_fused(
+        params, x, h0f, h0b, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_hf), np.asarray(ref_hf), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_hb), np.asarray(ref_hb), atol=1e-5)
+
+
+def test_fused_fast_mode_close(rng):
+    params = jax.tree_util.tree_map(
+        jnp.asarray, bigru_init(jax.random.PRNGKey(1), 90, 128)
+    )
+    x = jnp.asarray(rng.standard_normal((6, 8, 90)), dtype=jnp.float32)
+    h0 = jnp.zeros((8, 128))
+    ref_out, _, _ = bigru_apply(params, x, h0, h0)
+    fast_out, _, _ = bigru_apply_fused(params, x, h0, h0, interpret=True, fast=True)
+    np.testing.assert_allclose(np.asarray(fast_out), np.asarray(ref_out), atol=0.05)
