@@ -86,6 +86,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output_dir", required=True)
     p.add_argument("--manifest_url", default=None)
 
+    p = sub.add_parser(
+        "convert",
+        help="convert checkpoints between reference .pkl and native .npz",
+    )
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", required=True,
+                   help="output path; .npz or .pkl decides the format")
+
     sub.add_parser("devices", help="show JAX devices and platform info (reference: torch_stat)")
     sub.add_parser("version", help="print version")
     return parser
@@ -203,6 +211,21 @@ def main(argv=None) -> int:
         from helen_tpu.io.download import download_models
 
         download_models(args.output_dir, args.manifest_url)
+        return 0
+
+    if args.command == "convert":
+        from helen_tpu.io.checkpoint import (
+            export_torch_checkpoint,
+            load_model_any,
+            save_checkpoint,
+        )
+
+        params, meta = load_model_any(args.input)
+        if args.output.endswith(".pkl"):
+            export_torch_checkpoint(args.output, params, meta)
+        else:
+            save_checkpoint(args.output, params, meta=meta)
+        print(args.output)
         return 0
 
     parser.error(f"unknown command {args.command}")

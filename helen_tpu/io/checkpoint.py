@@ -185,6 +185,26 @@ def import_torch_checkpoint(pkl_path: str) -> Tuple[Dict[str, Any], Dict[str, An
     return params, meta
 
 
+def export_torch_checkpoint(path: str, params: Any, meta: Optional[Dict[str, Any]] = None) -> None:
+    """Write a reference-format ``.pkl`` checkpoint (ModelHander.py:127-133
+    layout) so models trained here remain usable with the reference tooling."""
+    import torch
+
+    meta = dict(meta or {})
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_torch_state_dict(params).items()}
+    torch.save(
+        {
+            "model_state_dict": sd,
+            "model_optimizer": {},
+            "hidden_size": int(meta.get("hidden_size", 128)),
+            "gru_layers": int(meta.get("gru_layers", 1)),
+            "epochs": int(meta.get("epochs", 0)),
+        },
+        path,
+    )
+
+
 def load_model_any(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Load either a native .npz checkpoint or a reference torch .pkl."""
     if path.endswith(".npz"):

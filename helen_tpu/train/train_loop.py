@@ -225,6 +225,11 @@ class Trainer:
         self.scheduler = PlateauScheduler(
             cfg.learning_rate, cfg.plateau_factor, cfg.plateau_patience
         )
+        if retrain_model_path and retrain_model_path.endswith(".npz"):
+            _, meta, _ = load_checkpoint(retrain_model_path)
+            if "scheduler" in meta:
+                self.scheduler.load_state_dict(meta["scheduler"])
+                log.info("restored LR scheduler state: lr=%g", self.scheduler.lr)
         self.step_fn, self.shard_multiple = make_train_step(self.tx, data_parallel, precision)
         self.eff_batch = -(-cfg.batch_size // self.shard_multiple) * self.shard_multiple
         self.dataset = MarginPolishDataset(self.train_files, IMAGE, with_labels=True)
