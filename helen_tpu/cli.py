@@ -34,6 +34,9 @@ def _add_common_consensus_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--backend", default=None,
                    choices=["xla", "pallas", "pallas_fast"],
                    help="override compute backend (default: pallas on TPU)")
+    p.add_argument("--pack", action="store_true",
+                   help="build/reuse a packed contiguous image cache for "
+                        "slab-read streaming (recommended for large runs)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -142,6 +145,7 @@ def main(argv=None) -> int:
             resume=args.resume,
             profile_dir=args.profile_dir,
             backend="pallas_fast" if args.fast else args.backend,
+            pack=args.pack,
         )
         print(fasta)
         return 0
@@ -160,6 +164,7 @@ def main(argv=None) -> int:
             data_parallel=not args.no_data_parallel,
             profile_dir=args.profile_dir,
             backend="pallas_fast" if args.fast else args.backend,
+            pack=args.pack,
         )
         for f in files:
             print(f)

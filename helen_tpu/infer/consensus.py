@@ -119,11 +119,14 @@ def call_consensus(
     profile_dir: Optional[str] = None,
     precision=None,
     backend: Optional[str] = None,
+    pack: bool = False,
 ) -> List[str]:
     """Run consensus calling over a directory of MarginPolish images.
 
     Writes ``<output_dir>/<output_prefix>_0.hdf`` (single prediction shard —
     shard-per-host when running multi-host; see parallel.multihost).
+    ``pack=True`` builds (or reuses) a packed contiguous cache of the images
+    for slab-read streaming — ~10-30x faster host IO on large runs.
     Returns the list of prediction files written.
     """
     files = list(image_files) if image_files is not None else list_image_files(image_dir)
@@ -135,7 +138,18 @@ def call_consensus(
     params, meta = load_model_any(model_path)
     log.info("model loaded from %s (epochs=%s)", model_path, meta.get("epochs"))
 
-    dataset = MarginPolishDataset(files, IMAGE)
+    packed_ds = None
+    if pack:
+        from helen_tpu.io.packed import PackedDataset, cache_is_fresh, pack_images
+
+        cache_path = os.path.join(output_dir, "images_cache.h5")
+        if not cache_is_fresh(cache_path, files):
+            log.info("building packed image cache %s", cache_path)
+            pack_images(files, cache_path, IMAGE)
+        packed_ds = PackedDataset(cache_path)
+        dataset = packed_ds
+    else:
+        dataset = MarginPolishDataset(files, IMAGE)
     if len(dataset) == 0:
         raise ValueError(f"no images found in {len(files)} input files")
     log.info("%d images across %d files", len(dataset), len(files))
@@ -169,12 +183,21 @@ def call_consensus(
                     )
                     written += 1
 
+        if packed_ds is not None:
+            from helen_tpu.io.packed import packed_batch_iterator, prefetch_iterator
+
+            batch_iter = prefetch_iterator(
+                packed_batch_iterator(packed_ds, eff_batch, indices=indices)
+            )
+        else:
+            batch_iter = batched_image_iterator(
+                dataset, eff_batch, num_workers, indices=indices
+            )
+
         # one-batch-deep pipeline: TPU computes batch k+1 while the host
         # reads back and writes batch k
         in_flight = None
-        for bi, batch in enumerate(
-            batched_image_iterator(dataset, eff_batch, num_workers, indices=indices)
-        ):
+        for bi, batch in enumerate(batch_iter):
             if resume:
                 todo = [
                     j for j, rec in enumerate(batch.records)

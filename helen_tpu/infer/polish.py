@@ -64,6 +64,7 @@ def polish(
     resume: bool = False,
     profile_dir: Optional[str] = None,
     backend: Optional[str] = None,
+    pack: bool = False,
 ) -> str:
     """Full polish: images -> consensus -> stitch -> polished FASTA path."""
     from helen_tpu.infer.consensus import call_consensus
@@ -81,6 +82,7 @@ def polish(
             resume=resume,
             profile_dir=profile_dir,
             backend=backend,
+            pack=pack,
         )
     with timer.stage("stitch"):
         fasta = perform_stitch(pred_dir, output_dir, output_prefix, threads)

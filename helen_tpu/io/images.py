@@ -76,6 +76,10 @@ class MarginPolishDataset:
     Equivalent of the reference's three SequenceDataset variants
     (dataloader.py / dataloader_predict.py / dataloader_debug.py) unified:
     pass ``with_labels=True`` for training/eval files.
+
+    File handles are cached per thread (h5py handles are not thread-safe to
+    share, but per-thread reuse avoids an open/close per image — the
+    dominant cost when the TPU consumes hundreds of images per second).
     """
 
     def __init__(
@@ -87,6 +91,7 @@ class MarginPolishDataset:
         self.files = list(files)
         self.cfg = image_config
         self.with_labels = with_labels
+        self._local = threading.local()
         self.index: List[Tuple[str, str]] = []  # (file, image_name)
         for path in self.files:
             with h5py.File(path, "r") as f:
@@ -98,20 +103,28 @@ class MarginPolishDataset:
     def __len__(self) -> int:
         return len(self.index)
 
+    def _handle(self, path: str) -> h5py.File:
+        cache = getattr(self._local, "handles", None)
+        if cache is None:
+            cache = self._local.handles = {}
+        f = cache.get(path)
+        if f is None or not f.id.valid:
+            f = cache[path] = h5py.File(path, "r")
+        return f
+
     def load(self, i: int) -> ImageRecord:
         path, name = self.index[i]
-        with h5py.File(path, "r") as f:
-            grp = f["images"][name]
-            image = np.asarray(grp["image"][()], dtype=np.uint8)
-            position = np.asarray(grp["position"][()], dtype=np.int64)
-            contig = _decode_contig(grp["contig"][()])
-            contig_start = int(np.asarray(grp["contig_start"][()]).reshape(-1)[0])
-            contig_end = int(np.asarray(grp["contig_end"][()]).reshape(-1)[0])
-            chunk_id = int(np.asarray(grp["feature_chunk_idx"][()]).reshape(-1)[0])
-            label_base = label_rle = None
-            if self.with_labels:
-                label_base = np.asarray(grp["label_base"][()], dtype=np.int64)
-                label_rle = np.asarray(grp["label_run_length"][()], dtype=np.int64)
+        grp = self._handle(path)["images"][name]
+        image = np.asarray(grp["image"][()], dtype=np.uint8)
+        position = np.asarray(grp["position"][()], dtype=np.int64)
+        contig = _decode_contig(grp["contig"][()])
+        contig_start = int(np.asarray(grp["contig_start"][()]).reshape(-1)[0])
+        contig_end = int(np.asarray(grp["contig_end"][()]).reshape(-1)[0])
+        chunk_id = int(np.asarray(grp["feature_chunk_idx"][()]).reshape(-1)[0])
+        label_base = label_rle = None
+        if self.with_labels:
+            label_base = np.asarray(grp["label_base"][()], dtype=np.int64)
+            label_rle = np.asarray(grp["label_run_length"][()], dtype=np.int64)
         image, position = pad_image(image, position, self.cfg.seq_length)
         if self.with_labels:
             label_base = _pad_labels(label_base, self.cfg.seq_length)

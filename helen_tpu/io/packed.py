@@ -1,0 +1,224 @@
+"""Packed image cache: contiguous batch-readable tensors.
+
+The MarginPolish schema stores every image as its own HDF5 group with 6-8
+small datasets — reading it is dominated by per-dataset overhead and Python
+dispatch, which can starve a TPU that consumes hundreds of images per
+second. This module packs a set of image files into ONE cache file of
+contiguous arrays:
+
+  packed/images          uint8  (N, seq_length, feature_dim)
+  packed/positions       int32  (N, seq_length, 3)
+  packed/contig_ids      int32  (N,)          index into packed/contigs
+  packed/contigs         string (C,)
+  packed/contig_start    int64  (N,)
+  packed/contig_end      int64  (N,)
+  packed/chunk_id        int32  (N,)
+  packed/label_base      uint8  (N, seq_length)   (when labels present)
+  packed/label_rle       uint8  (N, seq_length)
+  packed/source_files    string (F,)  + packed/source_mtimes float64 (F,)
+
+A whole batch is then two slab reads (`images[a:b]`, `positions[a:b]`)
+instead of thousands of group opens. The cache is internal — pipeline inputs
+remain standard MarginPolish files; `call_consensus(pack=True)` builds the
+cache next to the output dir and validates it against source mtimes.
+"""
+from __future__ import annotations
+
+import os
+from typing import Iterator, List, Optional, Sequence
+
+import h5py
+import numpy as np
+
+from helen_tpu.config import IMAGE, ImageConfig
+from helen_tpu.io.images import ImageBatch, ImageRecord, MarginPolishDataset
+from helen_tpu.obs import get_logger
+
+log = get_logger("packed")
+
+
+def pack_images(
+    files: Sequence[str],
+    cache_path: str,
+    image_config: ImageConfig = IMAGE,
+    with_labels: bool = False,
+    chunk_rows: int = 256,
+) -> int:
+    """Build a packed cache from MarginPolish files; returns image count."""
+    ds = MarginPolishDataset(files, image_config, with_labels=with_labels)
+    n = len(ds)
+    if n == 0:
+        raise ValueError("no images to pack")
+    L, F = image_config.seq_length, image_config.feature_dim
+    contigs: List[str] = []
+    contig_idx = {}
+    tmp = cache_path + f".tmp{os.getpid()}"
+    with h5py.File(tmp, "w") as out:
+        g = out.create_group("packed")
+        images = g.create_dataset(
+            "images", (n, L, F), dtype=np.uint8, chunks=(min(chunk_rows, n), L, F)
+        )
+        positions = g.create_dataset(
+            "positions", (n, L, 3), dtype=np.int32, chunks=(min(chunk_rows, n), L, 3)
+        )
+        contig_ids = np.zeros(n, dtype=np.int32)
+        starts = np.zeros(n, dtype=np.int64)
+        ends = np.zeros(n, dtype=np.int64)
+        chunk_ids = np.zeros(n, dtype=np.int32)
+        lb = g.create_dataset("label_base", (n, L), dtype=np.uint8) if with_labels else None
+        lr = g.create_dataset("label_rle", (n, L), dtype=np.uint8) if with_labels else None
+        for i in range(n):
+            rec = ds.load(i)
+            images[i] = rec.image
+            positions[i] = rec.position.astype(np.int32)
+            if rec.contig not in contig_idx:
+                contig_idx[rec.contig] = len(contigs)
+                contigs.append(rec.contig)
+            contig_ids[i] = contig_idx[rec.contig]
+            starts[i] = rec.contig_start
+            ends[i] = rec.contig_end
+            chunk_ids[i] = rec.chunk_id
+            if with_labels:
+                lb[i] = rec.label_base
+                lr[i] = rec.label_rle
+        g["contig_ids"] = contig_ids
+        g["contig_start"] = starts
+        g["contig_end"] = ends
+        g["chunk_id"] = chunk_ids
+        g["contigs"] = np.array([c.encode() for c in contigs], dtype="S128")
+        g["source_files"] = np.array(
+            [os.path.abspath(f).encode() for f in files], dtype="S1024"
+        )
+        g["source_mtimes"] = np.array([os.path.getmtime(f) for f in files])
+    os.replace(tmp, cache_path)
+    log.info("packed %d images into %s", n, cache_path)
+    return n
+
+
+def cache_is_fresh(cache_path: str, files: Sequence[str]) -> bool:
+    """True when the cache exists and matches the source files' mtimes."""
+    if not os.path.exists(cache_path):
+        return False
+    try:
+        with h5py.File(cache_path, "r") as f:
+            srcs = [s.decode() for s in f["packed/source_files"][()]]
+            mtimes = list(f["packed/source_mtimes"][()])
+    except Exception:
+        return False
+    want = [os.path.abspath(p) for p in files]
+    if srcs != want:
+        return False
+    return all(abs(os.path.getmtime(p) - m) < 1e-6 for p, m in zip(want, mtimes))
+
+
+class PackedDataset:
+    """Batch-granular reader over a packed cache."""
+
+    def __init__(self, cache_path: str, with_labels: bool = False):
+        self.path = cache_path
+        self.with_labels = with_labels
+        self.file = h5py.File(cache_path, "r")
+        g = self.file["packed"]
+        self.n = g["images"].shape[0]
+        self.contigs = [c.decode() for c in g["contigs"][()]]
+        self.contig_ids = g["contig_ids"][()]
+        self.contig_start = g["contig_start"][()]
+        self.contig_end = g["contig_end"][()]
+        self.chunk_id = g["chunk_id"][()]
+
+    def __len__(self) -> int:
+        return self.n
+
+    def read_batch(self, indices: np.ndarray) -> ImageBatch:
+        g = self.file["packed"]
+        indices = np.asarray(indices)
+        # h5py fancy indexing needs sorted unique indices; batches are
+        # naturally sorted ranges in the common case
+        if (np.diff(indices) == 1).all():
+            sl = slice(int(indices[0]), int(indices[-1]) + 1)
+            images = g["images"][sl]
+            positions = g["positions"][sl]
+            lb = g["label_base"][sl] if self.with_labels else None
+            lr = g["label_rle"][sl] if self.with_labels else None
+        else:
+            order = np.argsort(indices, kind="stable")
+            sorted_idx = indices[order]
+            inv = np.empty_like(order)
+            inv[order] = np.arange(len(order))
+            images = g["images"][sorted_idx][inv]
+            positions = g["positions"][sorted_idx][inv]
+            lb = g["label_base"][sorted_idx][inv] if self.with_labels else None
+            lr = g["label_rle"][sorted_idx][inv] if self.with_labels else None
+        records = [
+            ImageRecord(
+                contig=self.contigs[self.contig_ids[i]],
+                contig_start=int(self.contig_start[i]),
+                contig_end=int(self.contig_end[i]),
+                chunk_id=int(self.chunk_id[i]),
+                image=images[j],
+                position=positions[j].astype(np.int64),
+                filename=self.path,
+                label_base=lb[j].astype(np.int64) if lb is not None else None,
+                label_rle=lr[j].astype(np.int64) if lr is not None else None,
+            )
+            for j, i in enumerate(indices)
+        ]
+        return ImageBatch(
+            records=records,
+            images=np.ascontiguousarray(images),
+            valid=len(records),
+            labels_base=lb.astype(np.int32) if lb is not None else None,
+            labels_rle=lr.astype(np.int32) if lr is not None else None,
+        )
+
+
+def prefetch_iterator(it: Iterator, depth: int = 3) -> Iterator:
+    """Run an iterator in a background thread with a bounded queue so slab
+    reads overlap downstream compute."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(None)
+        except BaseException as exc:
+            q.put(exc)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+def packed_batch_iterator(
+    dataset: PackedDataset,
+    batch_size: int,
+    indices: Optional[Sequence[int]] = None,
+    pad_final: bool = True,
+) -> Iterator[ImageBatch]:
+    """Stream fixed-shape batches from a packed cache with slab reads."""
+    order = np.asarray(indices if indices is not None else np.arange(len(dataset)))
+    for start in range(0, len(order), batch_size):
+        chunk = order[start : start + batch_size]
+        batch = dataset.read_batch(chunk)
+        if pad_final and batch.valid < batch_size:
+            pad = batch_size - batch.valid
+            batch.images = np.concatenate(
+                [batch.images, np.zeros((pad,) + batch.images.shape[1:], np.uint8)]
+            )
+            if batch.labels_base is not None:
+                batch.labels_base = np.concatenate(
+                    [batch.labels_base, np.zeros((pad, batch.labels_base.shape[1]), np.int32)]
+                )
+                batch.labels_rle = np.concatenate(
+                    [batch.labels_rle, np.zeros((pad, batch.labels_rle.shape[1]), np.int32)]
+                )
+        yield batch

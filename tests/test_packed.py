@@ -1,0 +1,93 @@
+"""Packed image cache tests."""
+import os
+
+import numpy as np
+import pytest
+import torch
+
+from helen_tpu.infer.consensus import call_consensus
+from helen_tpu.io.images import MarginPolishDataset
+from helen_tpu.io.packed import (
+    PackedDataset,
+    cache_is_fresh,
+    pack_images,
+    packed_batch_iterator,
+)
+from helen_tpu.io.prediction_store import list_region_keys, read_prediction_regions
+from helen_tpu.io.synthetic import random_sequence, write_image_file
+
+from tests.torch_reference import TorchTransducer
+
+
+@pytest.fixture(scope="module")
+def image_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pack")
+    paths = []
+    for i in range(2):
+        p = str(d / f"img_{i}.h5")
+        write_image_file(p, {f"c{i}": random_sequence(5000, seed=i)},
+                         region_cols=800, overlap_cols=80, noise=0.1)
+        paths.append(p)
+    return paths
+
+
+def test_pack_roundtrip(image_files, tmp_path):
+    cache = str(tmp_path / "cache.h5")
+    n = pack_images(image_files, cache, with_labels=True)
+    ref = MarginPolishDataset(image_files, with_labels=True)
+    assert n == len(ref)
+    packed = PackedDataset(cache, with_labels=True)
+    for i in (0, n // 2, n - 1):
+        a = ref.load(i)
+        batch = packed.read_batch(np.array([i]))
+        b = batch.records[0]
+        assert (a.contig, a.contig_start, a.contig_end, a.chunk_id) == (
+            b.contig, b.contig_start, b.contig_end, b.chunk_id
+        )
+        np.testing.assert_array_equal(a.image, b.image)
+        np.testing.assert_array_equal(a.position, b.position)
+        np.testing.assert_array_equal(a.label_base, b.label_base)
+
+
+def test_cache_freshness(image_files, tmp_path):
+    cache = str(tmp_path / "cache.h5")
+    assert not cache_is_fresh(cache, image_files)
+    pack_images(image_files, cache)
+    assert cache_is_fresh(cache, image_files)
+    # touching a source invalidates
+    os.utime(image_files[0])
+    assert not cache_is_fresh(cache, image_files)
+
+
+def test_packed_iterator_pads(image_files, tmp_path):
+    cache = str(tmp_path / "cache.h5")
+    n = pack_images(image_files, cache)
+    ds = PackedDataset(cache)
+    batches = list(packed_batch_iterator(ds, 4))
+    assert sum(b.valid for b in batches) == n
+    assert all(b.images.shape[0] == 4 for b in batches)
+
+
+def test_consensus_pack_matches_unpacked(image_files, tmp_path):
+    torch.manual_seed(1)
+    model = TorchTransducer()
+    pkl = str(tmp_path / "m.pkl")
+    torch.save({"model_state_dict": model.state_dict(), "model_optimizer": {},
+                "hidden_size": 128, "gru_layers": 1, "epochs": 0}, pkl)
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    fa = call_consensus(image_files=image_files, model_path=pkl,
+                        output_dir=out_a, batch_size=8, num_workers=2)[0]
+    fb = call_consensus(image_files=image_files, model_path=pkl,
+                        output_dir=out_b, batch_size=8, num_workers=2, pack=True)[0]
+    for contig in ("c0", "c1"):
+        ka = list_region_keys([fa], contig)
+        kb = list_region_keys([fb], contig)
+        assert [k[1:] for k in ka] == [k[1:] for k in kb]
+        for (pa, ra, _, _), (pb, rb, _, _) in zip(ka, kb):
+            for (posa, ba, rlea), (posb, bb, rleb) in zip(
+                read_prediction_regions(pa, contig, ra),
+                read_prediction_regions(pb, contig, rb),
+            ):
+                np.testing.assert_array_equal(ba, bb)
+                np.testing.assert_array_equal(rlea, rleb)
