@@ -66,6 +66,20 @@ def host_file_shard(files: Sequence[str], process_index: Optional[int] = None,
     return [f for i, f in enumerate(sorted(files)) if i % pc == pi]
 
 
+def host_image_shard(num_images: int, process_index: Optional[int] = None,
+                     process_count: Optional[int] = None) -> List[int]:
+    """Image-granular round-robin shard: better balance than whole-file
+    sharding when files vary in image count (SURVEY.md §8.3 'multi-host
+    input balance'). Pass the resulting indices to call_consensus via
+    ``batched_image_iterator(indices=...)``; output placement stays
+    deterministic because each image's (region, chunk) key is intrinsic."""
+    import jax
+
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return list(range(pi, num_images, pc))
+
+
 def allsum_hosts(array: np.ndarray) -> np.ndarray:
     """Sum a small host-local numpy array (e.g. a confusion matrix) across
     all hosts. Identity in single-process runs."""

@@ -190,6 +190,7 @@ class Trainer:
         retrain_model_path: Optional[str] = None,
         data_parallel: bool = True,
         precision=None,
+        checkpoint_every_batches: int = 200,
     ):
         import jax
         import jax.numpy as jnp
@@ -203,13 +204,16 @@ class Trainer:
         self.stats_dir = ensure_output_dir(stats_dir)
         self.num_workers = num_workers
         self.precision = precision
+        self.checkpoint_every_batches = max(1, checkpoint_every_batches)
 
         self.tx = make_optimizer(cfg.weight_decay)
         self.start_epoch = 0
+        self.start_batch = 0
         if retrain_model_path:
             params, meta = load_model_any(retrain_model_path)
             self.params = jax.tree_util.tree_map(jnp.asarray, params)
             self.start_epoch = int(meta.get("epochs", 0))
+            self.start_batch = int(meta.get("batch_in_epoch", 0))
             opt_template = self.tx.init(self.params)
             if retrain_model_path.endswith(".npz"):
                 _, _, opt_state = load_checkpoint(retrain_model_path, opt_template)
@@ -238,23 +242,49 @@ class Trainer:
         log.info("training on %d images, evaluating on %d files",
                  len(self.dataset), len(self.test_files))
 
-    def train_one_epoch(self, epoch: int, rng: np.random.Generator) -> float:
+    def _epoch_indices(self, epoch: int) -> list:
+        """Deterministic per-epoch shuffle (seed + epoch), so a mid-epoch
+        resume can re-derive the exact data order."""
+        return np.random.default_rng(self.cfg.seed + epoch).permutation(
+            len(self.dataset)
+        ).tolist()
+
+    def _save_latest(self, epoch: int, batch_in_epoch: int) -> None:
+        save_checkpoint(
+            os.path.join(self.model_dir, "HELEN_latest_checkpoint.npz"),
+            self.params,
+            meta={
+                "epochs": epoch,
+                "batch_in_epoch": batch_in_epoch,
+                "hidden_size": MODEL.hidden_size,
+                "gru_layers": MODEL.gru_layers,
+                "scheduler": self.scheduler.state_dict(),
+            },
+            opt_state=self.opt_state,
+        )
+
+    def train_one_epoch(self, epoch: int, skip_batches: int = 0) -> float:
         import jax.numpy as jnp
 
-        indices = rng.permutation(len(self.dataset)).tolist()
+        indices = self._epoch_indices(epoch)
         total_loss = 0.0
         total_images = 0
         n_windows = WINDOW.num_windows(IMAGE.seq_length)
         tp = Throughput(unit="windows")
         tp.start()
         csv_path = os.path.join(self.stats_dir, "train_loss.csv")
+        if skip_batches:
+            indices = indices[skip_batches * self.eff_batch :]
+            log.info("mid-epoch resume: skipping %d already-trained batches",
+                     skip_batches)
         with open(csv_path, "a", newline="") as f:
             writer = csv.writer(f)
             for bi, batch in enumerate(
                 batched_image_iterator(
                     self.dataset, self.eff_batch, self.num_workers,
                     indices=indices, pad_final=True,
-                )
+                ),
+                start=skip_batches,
             ):
                 self.params, self.opt_state, tot, tot_b, tot_r = self.step_fn(
                     self.params, self.opt_state, jnp.float32(self.scheduler.lr),
@@ -267,6 +297,8 @@ class Trainer:
                 tp.add(batch.valid * n_windows)
                 avg = total_loss / max(1, total_images)
                 writer.writerow([epoch + 1, bi + 1, avg])
+                if (bi + 1) % self.checkpoint_every_batches == 0:
+                    self._save_latest(epoch, bi + 1)
                 if bi % 20 == 0:
                     log.info("epoch %d batch %d: avg loss %.6f | %s",
                              epoch + 1, bi + 1, avg, tp)
@@ -274,14 +306,14 @@ class Trainer:
         return total_loss / max(1, total_images)
 
     def run(self, epochs: int) -> List[EpochStats]:
-        rng = np.random.default_rng(self.cfg.seed)
         history: List[EpochStats] = []
         end_epoch = self.start_epoch + epochs
         test_csv = os.path.join(self.stats_dir, "test_loss.csv")
         cm_log = os.path.join(self.stats_dir, "confusion_matrix.txt")
         for epoch in range(self.start_epoch, end_epoch):
             t0 = time.time()
-            train_loss = self.train_one_epoch(epoch, rng)
+            skip = self.start_batch if epoch == self.start_epoch else 0
+            train_loss = self.train_one_epoch(epoch, skip_batches=skip)
             stats = evaluate(
                 self.params, self.test_files, self.cfg.batch_size,
                 self.num_workers, self.precision,
@@ -300,6 +332,7 @@ class Trainer:
                 },
                 opt_state=self.opt_state,
             )
+            self._save_latest(epoch + 1, 0)
             with open(test_csv, "a", newline="") as f:
                 csv.writer(f).writerow([epoch + 1, stats["loss"], stats["base_accuracy"]])
             with open(cm_log, "a") as f:
