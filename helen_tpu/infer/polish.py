@@ -71,7 +71,20 @@ def polish(
 
     timer = StageTimer()
     output_dir = ensure_output_dir(output_dir)
-    pred_dir = timestamped_dir(output_dir, "predictions")
+    pred_dir = None
+    if resume:
+        # reuse the newest predictions dir so --resume actually finds the
+        # partially-written store from the interrupted run
+        existing = sorted(
+            d for d in os.listdir(output_dir)
+            if d.startswith("predictions_")
+            and os.path.isdir(os.path.join(output_dir, d))
+        )
+        if existing:
+            pred_dir = os.path.join(output_dir, existing[-1])
+            log.info("resuming into %s", pred_dir)
+    if pred_dir is None:
+        pred_dir = timestamped_dir(output_dir, "predictions")
     with timer.stage("call_consensus"):
         call_consensus(
             image_dir=image_dir,

@@ -128,3 +128,19 @@ def test_hyperband_schedule():
     assert best.loss == min(c[0] for c in calls)
     # survivors must have been resumed with their carried state
     assert any(c[2] is not None for c in calls)
+
+
+def test_bed_mask(tmp_path, capsys):
+    from helen_tpu.tools import bed_mask
+
+    fa = tmp_path / "in.fa"
+    fa.write_text(">c1\nACGTACGTAC\n>c2\nGGGG\n")
+    bed = tmp_path / "mask.bed"
+    bed.write_text("c1\t2\t5\nc1\t8\t100\n")
+    out = tmp_path / "out.fa"
+    assert bed_mask.main(["-i", str(fa), "-b", str(bed), "-o", str(out)]) == 0
+    from helen_tpu.io.fasta import read_fasta
+
+    seqs = dict(read_fasta(str(out)))
+    assert seqs["c1"] == "ACNNNCGTNN"
+    assert seqs["c2"] == "GGGG"
