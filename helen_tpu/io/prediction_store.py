@@ -16,7 +16,7 @@ an interrupted consensus run can skip already-written groups.
 """
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Set, Tuple
+from typing import Dict, Iterator, List, Optional, Set, Tuple
 
 import h5py
 import numpy as np
@@ -50,6 +50,32 @@ class PredictionStore:
         if self.file:
             self.file.close()
             self.file = None
+
+    def write_metadata(self, data: Dict[str, object]) -> None:
+        """Store small structured metadata blobs as JSON strings under top-
+        level keys (reference DataStore.write_metadata, DataStore.py:52-60,
+        used yaml; JSON avoids the unsafe-load footgun)."""
+        import json
+
+        for key, value in data.items():
+            if key in self.file:
+                del self.file[key]
+            self.file[key] = json.dumps(value)
+
+    def load_metadata(self, keys: Optional[List[str]] = None) -> Dict[str, object]:
+        import json
+
+        out: Dict[str, object] = {}
+        for key in keys or [k for k in self.file.keys() if k != PRED_ROOT]:
+            if key in self.file:
+                raw = self.file[key][()]
+                if isinstance(raw, bytes):
+                    raw = raw.decode()
+                try:
+                    out[key] = json.loads(raw)
+                except (TypeError, ValueError):
+                    continue
+        return out
 
     def has_chunk(self, contig: str, contig_start: int, contig_end: int, chunk_id: int) -> bool:
         region = f"{contig}-{contig_start}-{contig_end}"

@@ -1,0 +1,69 @@
+"""Worker script for the 2-process multihost smoke test (see
+tests/test_multihost_smoke.py). Run as:
+  python tests/multihost_worker.py <process_id> <coordinator_port>
+"""
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    pid = int(sys.argv[1])
+    port = int(sys.argv[2])
+    from helen_tpu.parallel import multihost
+
+    multihost.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+    assert jax.process_count() == 2
+    assert jax.device_count() == 4
+
+    # cross-host reduction (the eval confusion-matrix path)
+    cm = np.full((3, 3), float(pid + 1))
+    total = multihost.allsum_hosts(cm)
+    assert (total == 3.0).all(), total
+
+    # image sharding helpers are consistent and complete across hosts
+    mine = multihost.host_image_shard(10)
+    assert mine == list(range(pid, 10, 2))
+
+    # one full dp x tp sharded training step over the global mesh
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    from helen_tpu.models.transducer import init_params
+    from helen_tpu.parallel.mesh import make_mesh
+    from helen_tpu.parallel.sharding import make_sharded_train_step, shard_params
+    from helen_tpu.train.train_loop import make_optimizer
+
+    mesh = make_mesh(model_parallel=2)
+    params = shard_params(mesh, init_params(jax.random.PRNGKey(0)))
+    tx = make_optimizer(0.0)
+    opt = tx.init(params)
+    step = make_sharded_train_step(mesh, tx, image_len=200)
+
+    rng = np.random.default_rng(pid)  # different data per host
+    imgs = rng.integers(0, 40, size=(2, 200, 90)).astype(np.uint8)
+    yb = rng.integers(0, 5, size=(2, 200)).astype(np.int32)
+    yr = rng.integers(0, 11, size=(2, 200)).astype(np.int32)
+    to_global = lambda a: multihost_utils.host_local_array_to_global_array(
+        a, mesh, P("data")
+    )
+    _, _, loss, _, _ = step(
+        params, opt, jnp.float32(1e-4), to_global(imgs), to_global(yb),
+        to_global(yr), 4,
+    )
+    loss_val = float(loss)
+    assert np.isfinite(loss_val)
+    multihost.barrier("done")
+    print(f"OK {pid} {loss_val:.6f}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

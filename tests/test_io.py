@@ -131,3 +131,19 @@ def test_fasta_roundtrip(tmp_path):
     n = write_fasta(path, [("a", "ACGT"), ("empty", ""), ("b", "GGGG")])
     assert n == 2
     assert dict(read_fasta(path)) == {"a": "ACGT", "b": "GGGG"}
+
+
+def test_prediction_store_metadata(tmp_path):
+    path = str(tmp_path / "meta.hdf")
+    with PredictionStore(path) as store:
+        store.write_metadata({"run_info": {"model": "x.npz", "batch": 512},
+                              "hosts": [0, 1]})
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        assert "run_info" in f
+    store = PredictionStore(path, "r")
+    meta = store.load_metadata()
+    store.close()
+    assert meta["run_info"]["batch"] == 512
+    assert meta["hosts"] == [0, 1]
