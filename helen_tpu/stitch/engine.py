@@ -123,6 +123,64 @@ def merge_region_chunks(
     return rle_decode(bases[keep], rles[keep])
 
 
+class _SegmentRope:
+    """Append/tail-oriented string accumulator.
+
+    The reference stitches by rebuilding the whole running string at every
+    join (Stitch.py:170-177) — O(contig_length) copying per region, which is
+    quadratic over a contig (its stitch stage costs 20-60 min on a human
+    genome partly because of this). Joins only ever need the LAST
+    ``overlap_bases`` characters, so we keep the sequence as a list of
+    segments and touch only the tail; the full string is materialized once at
+    the end.
+    """
+
+    def __init__(self, initial: str):
+        self.parts = [initial] if initial else []
+        self.length = len(initial)
+
+    def tail(self, k: int) -> str:
+        """Last min(k, length) characters (k <= 0 returns the whole string,
+        matching Python's s[-0:] quirk the reference relies on)."""
+        if k <= 0 or k >= self.length:
+            return "".join(self.parts)
+        out = []
+        need = k
+        for seg in reversed(self.parts):
+            if need <= 0:
+                break
+            take = seg[-need:] if need < len(seg) else seg
+            out.append(take)
+            need -= len(take)
+        return "".join(reversed(out))
+
+    def drop_tail(self, k: int) -> None:
+        """Remove the last k characters (k<=0: clears everything, matching
+        the reference's s[:-0] == '' semantics)."""
+        if k <= 0 or k >= self.length:
+            self.parts = []
+            self.length = 0
+            return
+        need = k
+        while need > 0 and self.parts:
+            seg = self.parts[-1]
+            if len(seg) <= need:
+                self.parts.pop()
+                need -= len(seg)
+            else:
+                self.parts[-1] = seg[:-need]
+                need = 0
+        self.length -= k
+
+    def append(self, s: str) -> None:
+        if s:
+            self.parts.append(s)
+            self.length += len(s)
+
+    def materialize(self) -> str:
+        return "".join(self.parts)
+
+
 def alignment_stitch(
     sequence_chunks: Sequence[Tuple[str, int, int, str]],
     cfg: StitchConfig = STITCH,
@@ -130,10 +188,12 @@ def alignment_stitch(
     """Join sorted overlapping region sequences with SSW anchors.
 
     Faithful to the reference merge loop (Stitch.py:96-190) including its
-    N-fill fallback behaviors.
+    N-fill fallback behaviors; the accumulation is segment-based (see
+    _SegmentRope) so cost is linear in contig length.
     """
     chunks = sorted(sequence_chunks, key=lambda c: (c[1], c[2]))
-    contig, running_start, running_end, running_sequence = chunks[0]
+    contig, running_start, running_end, first_sequence = chunks[0]
+    rope = _SegmentRope(first_sequence)
     aligner = Aligner(cfg.match_score, cfg.mismatch_penalty,
                       cfg.gap_open_penalty, cfg.gap_extend_penalty)
     filt = Filter()
@@ -141,7 +201,7 @@ def alignment_stitch(
         if this_start < running_end:
             overlap_bases = running_end - this_start
             overlap_bases = overlap_bases + int(overlap_bases * cfg.base_error_rate)
-            left_chunk = running_sequence[-overlap_bases:]
+            left_chunk = rope.tail(overlap_bases)
             right_chunk = this_sequence[:overlap_bases]
             alignment = Alignment()
             aligner.SetReferenceSequence(left_chunk, len(left_chunk))
@@ -151,7 +211,8 @@ def alignment_stitch(
                             contig, this_start, this_end)
                 # reference behavior: append the overlap prefix after 10 Ns
                 if len(right_chunk) > 10:
-                    running_sequence = running_sequence + 10 * "N" + right_chunk
+                    rope.append(10 * "N")
+                    rope.append(right_chunk)
                     running_end = this_end
             else:
                 pos_a, pos_b = anchor_positions(
@@ -162,25 +223,23 @@ def alignment_stitch(
                     log.warning("no anchor in alignment at %s:%d (cigar %s)",
                                 contig, this_start, alignment.cigar_string)
                     if len(this_sequence) > 10:
-                        running_sequence = (
-                            running_sequence[:-overlap_bases] + left_chunk
-                            + 10 * "N" + this_sequence
-                        )
+                        # running[:-ov] + left_chunk + 10N + this == running + 10N + this
+                        rope.append(10 * "N")
+                        rope.append(this_sequence)
                         running_end = this_end
                 else:
-                    running_sequence = (
-                        running_sequence[:-overlap_bases]
-                        + left_chunk[:pos_a]
-                        + this_sequence[pos_b:]
-                    )
+                    rope.drop_tail(overlap_bases)
+                    rope.append(left_chunk[:pos_a])
+                    rope.append(this_sequence[pos_b:])
                     running_end = this_end
         else:
             log.warning("no overlap between chunks at %s:%d (running end %d)",
                         contig, this_start, running_end)
             if len(this_sequence) > 10:
-                running_sequence = running_sequence + 10 * "N" + this_sequence
+                rope.append(10 * "N")
+                rope.append(this_sequence)
                 running_end = this_end
-    return contig, running_start, running_end, running_sequence
+    return contig, running_start, running_end, rope.materialize()
 
 
 def _stitch_key_group(
@@ -214,24 +273,40 @@ class Stitcher:
         )
         groups = list(chunk_list(keys, group_size))
         results: List[Tuple[str, int, int, str]] = []
+        failed_groups: List[Sequence] = []
         if len(groups) == 1 or self.threads == 1:
             results = [_stitch_key_group(contig, g, self.cfg) for g in groups]
         else:
             # spawn (not fork): the parent may hold JAX/TPU runtime threads,
             # and forking a multithreaded process can deadlock
-            with concurrent.futures.ProcessPoolExecutor(
-                max_workers=self.threads,
-                mp_context=multiprocessing.get_context("spawn"),
-            ) as ex:
-                futures = [
-                    ex.submit(_stitch_key_group, contig, g, self.cfg) for g in groups
-                ]
-                for fut in concurrent.futures.as_completed(futures):
-                    exc = fut.exception()
-                    if exc is None:
-                        results.append(fut.result())
-                    else:
-                        log.error("stitch worker failed: %s", exc)
+            try:
+                with concurrent.futures.ProcessPoolExecutor(
+                    max_workers=self.threads,
+                    mp_context=multiprocessing.get_context("spawn"),
+                ) as ex:
+                    futures = {
+                        ex.submit(_stitch_key_group, contig, g, self.cfg): g
+                        for g in groups
+                    }
+                    for fut in concurrent.futures.as_completed(futures):
+                        exc = fut.exception()
+                        if exc is None:
+                            results.append(fut.result())
+                        else:
+                            log.warning("stitch worker failed (%s); will retry "
+                                        "in-process", exc)
+                            failed_groups.append(futures[fut])
+            except concurrent.futures.process.BrokenProcessPool as exc:
+                # e.g. spawn cannot re-import a stdin/-c __main__; redo
+                # everything in-process rather than emit partial output
+                log.warning("stitch process pool broke (%s); running "
+                            "in-process", exc)
+                results = []
+                failed_groups = groups
+            # a failed worker must never silently shrink the output — retry
+            # its group in this process and let real errors propagate
+            for g in failed_groups:
+                results.append(_stitch_key_group(contig, g, self.cfg))
         results.sort(key=lambda r: (r[1], r[2]))
         if not results:
             return ""

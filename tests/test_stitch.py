@@ -178,3 +178,118 @@ def test_golden_stitch_multifile(tmp_path):
         s.close()
     seq = stitch_contig([p1, p2], "chrT", threads=2)
     assert seq == truth
+
+
+class _StringStitch:
+    """Direct string-based replay of the reference merge loop (Stitch.py:96-190),
+    used as an oracle for the segment-rope implementation."""
+
+    @staticmethod
+    def run(chunks, cfg=STITCH):
+        from helen_tpu.stitch.engine import anchor_positions as _anchor
+
+        chunks = sorted(chunks, key=lambda c: (c[1], c[2]))
+        contig, start, end, seq = chunks[0]
+        al = Aligner(cfg.match_score, cfg.mismatch_penalty,
+                     cfg.gap_open_penalty, cfg.gap_extend_penalty)
+        filt = Filter()
+        for _, ts, te, tseq in chunks[1:]:
+            if ts < end:
+                ov = end - ts
+                left = seq[-ov:]
+                right = tseq[:ov]
+                a = Alignment()
+                al.SetReferenceSequence(left, len(left))
+                al.Align_cpp(right, filt, a, 0)
+                if a.best_score == 0:
+                    if len(right) > 10:
+                        seq = seq + 10 * "N" + right
+                        end = te
+                else:
+                    pa, pb = _anchor(a.cigar_string, a.reference_begin, cfg.overlap_threshold)
+                    if pa == -1 or pb == -1:
+                        if len(tseq) > 10:
+                            seq = seq[:-ov] + left + 10 * "N" + tseq
+                            end = te
+                    else:
+                        seq = seq[:-ov] + left[:pa] + tseq[pb:]
+                        end = te
+            else:
+                if len(tseq) > 10:
+                    seq = seq + 10 * "N" + tseq
+                    end = te
+        return contig, start, end, seq
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_rope_stitch_matches_string_stitch(seed):
+    """Fuzz: chunk layouts incl. mutations, gaps, short chunks, nesting."""
+    rng = np.random.default_rng(400 + seed)
+    truth = random_sequence(6000, seed=seed)
+    chunks = []
+    pos = 0
+    while pos < len(truth) - 100:
+        length = int(rng.integers(150, 1200))
+        end = min(pos + length, len(truth))
+        seq = list(truth[pos:end])
+        # random mutations
+        for _ in range(int(rng.integers(0, 4))):
+            j = int(rng.integers(0, len(seq)))
+            seq[j] = "ACGT"[int(rng.integers(0, 4))]
+        # occasional tiny chunk (exercises the len<=10 fallbacks)
+        if rng.random() < 0.15:
+            seq = seq[:8]
+            end = pos + 8
+        chunks.append(("c", pos, end, "".join(seq)))
+        # advance with overlap, sometimes leaving a gap (no-overlap fallback)
+        if rng.random() < 0.2:
+            pos = end + int(rng.integers(1, 50))
+        else:
+            pos = end - int(rng.integers(20, min(140, max(21, len(seq)))))
+        pos = max(pos, 0)
+    got = alignment_stitch(chunks)
+    want = _StringStitch.run(chunks)
+    assert got == want
+
+
+def test_rope_stitch_large_contig_linear_time():
+    """A multi-Mb contig must stitch in seconds (the O(n^2) string version
+    would take minutes)."""
+    import time
+
+    truth = random_sequence(3_000_000, seed=1)
+    step, size = 1300, 1500
+    chunks = []
+    pos = 0
+    while pos < len(truth):
+        end = min(pos + size, len(truth))
+        chunks.append(("c", pos, end, truth[pos:end]))
+        if end == len(truth):
+            break
+        pos += step
+    t0 = time.time()
+    _, _, _, seq = alignment_stitch(chunks)
+    dt = time.time() - t0
+    assert seq == truth
+    assert dt < 30, f"stitch took {dt:.1f}s for 3Mb"
+
+
+def test_stitch_worker_failure_propagates(tmp_path):
+    """A failing key group must raise, never silently shrink the FASTA."""
+    truth = random_sequence(20000, seed=44)
+    path = str(tmp_path / "ok.hdf")
+    write_prediction_file(path, {"c": truth}, region_cols=400, overlap_cols=40)
+    from helen_tpu.io.prediction_store import list_region_keys
+
+    keys = list_region_keys([path], "c")
+    # corrupt one key to point at a missing file: the pool worker raises,
+    # the in-process retry raises again, and the error must propagate
+    bad = [(str(tmp_path / "missing.hdf"),) + keys[3][1:]] + keys[:3] + keys[4:]
+    from helen_tpu.stitch.engine import Stitcher, _stitch_key_group
+    from helen_tpu.utils.filesystem import chunk_list
+
+    stitcher = Stitcher(threads=2)
+    import helen_tpu.io.prediction_store as ps
+    with pytest.raises((FileNotFoundError, OSError)):
+        for group in chunk_list(bad, 2):
+            _stitch_key_group("c", group, STITCH)
