@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="helen_tpu",
         description="TPU-native assembly polisher (HELEN-compatible pipeline)",
     )
+    parser.add_argument(
+        "--platform", choices=["auto", "cpu"], default="auto",
+        help="force the compute platform (cpu = the reference's CPU-inference "
+             "mode; auto = use the TPU when present)",
+    )
     sub = parser.add_subparsers(dest="command")
 
     p = sub.add_parser("polish", help="images -> consensus -> stitch -> polished FASTA")
@@ -97,6 +102,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", required=True,
                    help="output path; .npz or .pkl decides the format")
 
+    p = sub.add_parser("hyperband", help="successive-halving (lr, decay) search")
+    p.add_argument("--train_image_dir", required=True)
+    p.add_argument("--test_image_dir", required=True)
+    p.add_argument("-o", "--output_dir", default="./hyperband_out/")
+    p.add_argument("-b", "--batch_size", type=int, default=32)
+    p.add_argument("--max_epochs", type=int, default=9)
+    p.add_argument("--eta", type=int, default=3)
+    p.add_argument("--seed", type=int, default=0)
+
     sub.add_parser("devices", help="show JAX devices and platform info (reference: torch_stat)")
     sub.add_parser("version", help="print version")
     return parser
@@ -120,6 +134,18 @@ def main(argv=None) -> int:
     if args.command is None:
         parser.print_help()
         return 1
+
+    if args.platform == "cpu":
+        # must happen before the first jax backend use; all jax imports in
+        # this CLI are function-local so this is early enough
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.command in ("polish", "call_consensus", "train", "test", "hyperband"):
+        from helen_tpu.utils import enable_persistent_compilation_cache
+
+        enable_persistent_compilation_cache()
 
     if args.command == "version":
         from helen_tpu.version import __version__
@@ -210,6 +236,17 @@ def main(argv=None) -> int:
             output_dir=args.output_dir,
             debug_mismatches=args.debug_mismatches,
         )
+        return 0
+
+    if args.command == "hyperband":
+        from helen_tpu.train.hyperband import hyperband_interface
+
+        best = hyperband_interface(
+            args.train_image_dir, args.test_image_dir, args.output_dir,
+            args.batch_size, args.max_epochs, args.eta, seed=args.seed,
+        )
+        print(f"best lr={best.params['learning_rate']:.3e} "
+              f"decay={best.params['weight_decay']:.3e} loss={best.loss:.6f}")
         return 0
 
     if args.command == "download_models":

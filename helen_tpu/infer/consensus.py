@@ -133,7 +133,23 @@ def call_consensus(
     if not files:
         raise FileNotFoundError(f"no image files found in {image_dir!r}")
     ensure_output_dir(output_dir)
-    out_path = os.path.join(output_dir, f"{output_prefix}_0.hdf")
+
+    # multi-host jobs shard input files per host automatically and write one
+    # prediction shard per host (the reference's caller-sharding, made
+    # host-granular — CallConsensusInterface.py:134-145)
+    import jax
+
+    shard_id = 0
+    if jax.process_count() > 1 and image_files is None:
+        from helen_tpu.parallel.multihost import host_file_shard
+
+        shard_id = jax.process_index()
+        files = host_file_shard(files)
+        log.info("host %d/%d takes %d input files", shard_id,
+                 jax.process_count(), len(files))
+        if not files:
+            return []
+    out_path = os.path.join(output_dir, f"{output_prefix}_{shard_id}.hdf")
 
     params, meta = load_model_any(model_path)
     log.info("model loaded from %s (epochs=%s)", model_path, meta.get("epochs"))
