@@ -31,6 +31,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     from helen_tpu.models.transducer import consensus_labels, init_params
+    from helen_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
     n_chips = jax.local_device_count()
     params = jax.device_put(init_params(jax.random.PRNGKey(0)))
