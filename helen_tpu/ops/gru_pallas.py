@@ -25,6 +25,15 @@ is computed per step, bit-equivalent to the reference recurrence
 
 Used on the inference path (helen_tpu.infer); training keeps the lax.scan
 path (Pallas custom VJPs are not needed for a model this size).
+
+Explored and rejected layouts (2026-08, libtpu of that era): (a) a single
+stacked (T, 2, B, 3H) input with one batched dot_general measured ~1.8x
+faster in isolation, but passing the same array through forward- and
+reverse-indexed BlockSpecs crashes the Mosaic pipeline emitter
+(math_util.cc FromMixedRadix check), and the stacked variant with (2,1,3H)
+bias blocks crashes ApplyVectorLayout (array.h Slice check); (b) host-side
+time-flips to avoid reverse streams cost ~0.5 ms/window of HBM traffic,
+cancelling the gain. Revisit when Mosaic handles mixed-direction streams.
 """
 from __future__ import annotations
 
