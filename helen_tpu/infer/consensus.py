@@ -58,6 +58,7 @@ class ConsensusStep:
             return consensus_labels(p, images, WINDOW, MODEL,
                                     precision=precision, backend=backend)
 
+        self._batch_sharding = None
         if self.shard_multiple > 1:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -65,6 +66,7 @@ class ConsensusStep:
             replicated = NamedSharding(mesh, P())
             batch_sharded = NamedSharding(mesh, P("data"))
             self._params = jax.device_put(params, replicated)
+            self._batch_sharding = batch_sharded
             self._jfn = jax.jit(
                 fn,
                 in_shardings=(replicated, batch_sharded),
@@ -75,6 +77,13 @@ class ConsensusStep:
             self._jfn = jax.jit(fn)
 
     def submit(self, images_u8: np.ndarray):
+        if self._batch_sharding is not None:
+            # explicit placement: in a multi-process job, jit rejects numpy
+            # inputs with non-trivial shardings even when the mesh is
+            # host-local (inference is per-host independent by design)
+            import jax
+
+            images_u8 = jax.device_put(images_u8, self._batch_sharding)
         return self._jfn(self._params, images_u8)
 
     @staticmethod

@@ -16,6 +16,7 @@ import numpy as np  # noqa: E402
 def main() -> int:
     pid = int(sys.argv[1])
     port = int(sys.argv[2])
+    workdir = sys.argv[3] if len(sys.argv) > 3 else None
     from helen_tpu.parallel import multihost
 
     multihost.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
@@ -60,7 +61,35 @@ def main() -> int:
     )
     loss_val = float(loss)
     assert np.isfinite(loss_val)
-    multihost.barrier("done")
+    multihost.barrier("trained")
+
+    if workdir:
+        # full multi-host inference pipeline: each host auto-shards the input
+        # files, writes its own prediction shard, then host 0 stitches both
+        # shards into the polished FASTA
+        import os
+
+        from helen_tpu.infer.consensus import call_consensus
+        from helen_tpu.infer.polish import perform_stitch
+        from helen_tpu.io.fasta import read_fasta
+
+        pred_dir = os.path.join(workdir, "preds")
+        call_consensus(
+            image_dir=os.path.join(workdir, "images"),
+            model_path=os.path.join(workdir, "model.pkl"),
+            output_dir=pred_dir,
+            batch_size=4,
+            num_workers=2,
+            output_prefix="mh",
+        )
+        assert os.path.exists(os.path.join(pred_dir, f"mh_{pid}.hdf"))
+        multihost.barrier("consensus")
+        if pid == 0:
+            fasta = perform_stitch(pred_dir, workdir, "mh_polished", threads=1)
+            names = sorted(n for n, _ in read_fasta(fasta))
+            assert names == ["cA", "cB"], names
+        multihost.barrier("stitched")
+
     print(f"OK {pid} {loss_val:.6f}", flush=True)
     return 0
 

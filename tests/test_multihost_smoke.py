@@ -19,14 +19,35 @@ def _free_port() -> int:
 
 
 @pytest.mark.timeout(300)
-def test_two_process_distributed_job():
+def test_two_process_distributed_job(tmp_path):
+    # stage a tiny two-contig image set + model for the inference-pipeline leg
+    import torch
+
+    from helen_tpu.io.synthetic import random_sequence, write_image_file
+    from tests.torch_reference import TorchTransducer
+
+    workdir = str(tmp_path)
+    images = tmp_path / "images"
+    images.mkdir()
+    # two files so each host's round-robin shard gets one
+    write_image_file(str(images / "a.h5"), {"cA": random_sequence(3000, seed=1)},
+                     region_cols=700, overlap_cols=60, noise=0.1)
+    write_image_file(str(images / "b.h5"), {"cB": random_sequence(3000, seed=2)},
+                     region_cols=700, overlap_cols=60, noise=0.1)
+    torch.manual_seed(3)
+    torch.save(
+        {"model_state_dict": TorchTransducer().state_dict(), "model_optimizer": {},
+         "hidden_size": 128, "gru_layers": 1, "epochs": 0},
+        str(tmp_path / "model.pkl"),
+    )
+
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), str(port)],
+            [sys.executable, worker, str(pid), str(port), workdir],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
         )
         for pid in range(2)

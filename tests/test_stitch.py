@@ -293,3 +293,61 @@ def test_stitch_worker_failure_propagates(tmp_path):
     with pytest.raises((FileNotFoundError, OSError)):
         for group in chunk_list(bad, 2):
             _stitch_key_group("c", group, STITCH)
+
+
+def _dict_merge_reference(chunks):
+    """Reference's dict-based region merge (Stitch.py:204-245), as an oracle."""
+    base_d, rle_d = {}, {}
+    order = []
+    for position, bases, rles in chunks:
+        for pos, b, r in zip(np.asarray(position), np.asarray(bases), np.asarray(rles)):
+            key = (int(pos[0]), int(pos[1]), int(pos[2]))
+            if key[1] < 0 or key[0] < 0:
+                continue
+            if key not in base_d:
+                base_d[key] = int(b)
+                rle_d[key] = int(r)
+                order.append(key)
+    keys = sorted(base_d.keys())
+    from helen_tpu.config import LABEL_DECODER
+
+    return "".join(LABEL_DECODER[base_d[k]] * rle_d[k]
+                   for k in keys if base_d[k] in LABEL_DECODER)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_merge_region_chunks_fuzz_vs_dict(seed):
+    rng = np.random.default_rng(700 + seed)
+    chunks = []
+    for _ in range(int(rng.integers(2, 6))):
+        n = int(rng.integers(5, 400))
+        position = np.zeros((n, 3), dtype=np.int64)
+        # overlapping position ranges with random inserts/splits and padding
+        start = int(rng.integers(0, 300))
+        position[:, 0] = np.sort(rng.integers(start, start + n, n))
+        position[:, 1] = rng.integers(0, 3, n)
+        position[:, 2] = rng.integers(0, 2, n)
+        pad = rng.random(n) < 0.1
+        position[pad] = -1
+        bases = rng.integers(0, 5, n)
+        rles = rng.integers(0, 11, n)
+        chunks.append((position, bases, rles))
+    got = merge_region_chunks(chunks)
+    want = _dict_merge_reference(chunks)
+    assert got == want
+
+
+def test_alignment_stitch_empty_region():
+    """An empty region sequence hits the best_score==0 fallback exactly as
+    the reference handles empty MarginPolish regions (Stitch.py:137-146)."""
+    truth = random_sequence(1200, seed=2)
+    chunks = [
+        ("c", 0, 500, truth[:500]),
+        ("c", 400, 800, ""),          # empty region
+        ("c", 700, 1200, truth[700:]),
+    ]
+    _, _, _, seq = alignment_stitch(chunks)
+    # empty chunk: score 0 and right_chunk == "" (len <= 10) -> skipped
+    # entirely; next chunk overlaps the original running end
+    assert seq.startswith(truth[:500])
+    assert truth[700:] in seq or seq.endswith(truth[700:])
