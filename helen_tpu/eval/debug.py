@@ -7,7 +7,7 @@ the 2 gap features (test_debug.py:144-151).
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -15,7 +15,7 @@ implementation bit-for-bit (verified in tests/test_model_parity.py).
 from __future__ import annotations
 
 import os
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 

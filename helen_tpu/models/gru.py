@@ -21,7 +21,7 @@ which keeps the MXU busy at large batch. The backward direction uses
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

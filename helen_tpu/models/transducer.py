@@ -15,7 +15,7 @@ computes what the reference does with a Python loop around cuDNN calls.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

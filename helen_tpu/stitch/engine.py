@@ -26,7 +26,7 @@ import concurrent.futures
 import ctypes
 import multiprocessing
 import re
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import Iterable, List, Sequence, Tuple
 
 import numpy as np
 

@@ -8,8 +8,6 @@ regions from polishing evaluation; this tool applies such a BED to a FASTA
 from __future__ import annotations
 
 import argparse
-from collections import defaultdict
-
 from helen_tpu.io.fasta import read_fasta, write_fasta
 from helen_tpu.tools.quast_sv_extractor import read_bed
 

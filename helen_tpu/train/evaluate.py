@@ -13,7 +13,7 @@ the confusion-matrix diagonals.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -26,14 +26,14 @@ import csv
 import os
 import time
 from dataclasses import dataclass
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
 from helen_tpu.config import IMAGE, MODEL, TRAIN, WINDOW, TrainConfig
 from helen_tpu.io.checkpoint import load_checkpoint, load_model_any, save_checkpoint
 from helen_tpu.io.images import MarginPolishDataset, batched_image_iterator
-from helen_tpu.obs import StageTimer, Throughput, get_logger
+from helen_tpu.obs import Throughput, get_logger
 from helen_tpu.train.evaluate import evaluate
 from helen_tpu.utils.filesystem import ensure_output_dir, list_image_files, timestamped_dir
 

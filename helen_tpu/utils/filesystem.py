@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import datetime
 import os
-from typing import Iterable, Iterator, List, Sequence, TypeVar
+from typing import Iterator, List, Sequence, TypeVar
 
 T = TypeVar("T")
 
