@@ -37,6 +37,9 @@ def _add_common_consensus_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pack", action="store_true",
                    help="build/reuse a packed contiguous image cache for "
                         "slab-read streaming (recommended for large runs)")
+    p.add_argument("--host_shard", default="image", choices=["image", "file"],
+                   help="multi-host work partition: round-robin individual "
+                        "images (balanced) or whole files (host-local IO)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -172,6 +175,7 @@ def main(argv=None) -> int:
             profile_dir=args.profile_dir,
             backend="pallas_fast" if args.fast else args.backend,
             pack=args.pack,
+            host_shard=args.host_shard,
         )
         print(fasta)
         return 0
@@ -191,6 +195,7 @@ def main(argv=None) -> int:
             profile_dir=args.profile_dir,
             backend="pallas_fast" if args.fast else args.backend,
             pack=args.pack,
+            host_shard=args.host_shard,
         )
         for f in files:
             print(f)

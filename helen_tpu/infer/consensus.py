@@ -129,6 +129,7 @@ def call_consensus(
     precision=None,
     backend: Optional[str] = None,
     pack: bool = False,
+    host_shard: str = "image",
 ) -> List[str]:
     """Run consensus calling over a directory of MarginPolish images.
 
@@ -136,28 +137,39 @@ def call_consensus(
     shard-per-host when running multi-host; see parallel.multihost).
     ``pack=True`` builds (or reuses) a packed contiguous cache of the images
     for slab-read streaming — ~10-30x faster host IO on large runs.
+
+    ``host_shard`` picks the multi-host work partition: ``"image"`` (default)
+    round-robins individual images across hosts — balanced even when files
+    have wildly different image counts (SURVEY.md §8.3); ``"file"`` round-
+    robins whole files (the reference's caller-sharding,
+    CallConsensusInterface.py:134-145) — each host then only opens its own
+    files, which can matter on slow shared filesystems.
     Returns the list of prediction files written.
     """
+    if host_shard not in ("image", "file"):
+        raise ValueError(f"host_shard must be 'image' or 'file', got {host_shard!r}")
     files = list(image_files) if image_files is not None else list_image_files(image_dir)
     if not files:
         raise FileNotFoundError(f"no image files found in {image_dir!r}")
     ensure_output_dir(output_dir)
 
-    # multi-host jobs shard input files per host automatically and write one
-    # prediction shard per host (the reference's caller-sharding, made
-    # host-granular — CallConsensusInterface.py:134-145)
+    # multi-host jobs shard the work per host automatically and write one
+    # prediction shard per host; output placement stays deterministic because
+    # each image's (region, chunk) store key is intrinsic to the image
     import jax
 
     shard_id = 0
-    if jax.process_count() > 1 and image_files is None:
-        from helen_tpu.parallel.multihost import host_file_shard
-
+    multihost = jax.process_count() > 1 and image_files is None
+    if multihost:
         shard_id = jax.process_index()
-        files = host_file_shard(files)
-        log.info("host %d/%d takes %d input files", shard_id,
-                 jax.process_count(), len(files))
-        if not files:
-            return []
+        if host_shard == "file":
+            from helen_tpu.parallel.multihost import host_file_shard
+
+            files = host_file_shard(files)
+            log.info("host %d/%d takes %d input files", shard_id,
+                     jax.process_count(), len(files))
+            if not files:
+                return []
     out_path = os.path.join(output_dir, f"{output_prefix}_{shard_id}.hdf")
 
     params, meta = load_model_any(model_path)
@@ -167,7 +179,9 @@ def call_consensus(
     if pack:
         from helen_tpu.io.packed import PackedDataset, cache_is_fresh, pack_images
 
-        cache_path = os.path.join(output_dir, "images_cache.h5")
+        # per-shard cache name: hosts may share output_dir on a network fs
+        cache_name = "images_cache.h5" if not multihost else f"images_cache_{shard_id}.h5"
+        cache_path = os.path.join(output_dir, cache_name)
         if not cache_is_fresh(cache_path, files):
             log.info("building packed image cache %s", cache_path)
             pack_images(files, cache_path, IMAGE)
@@ -178,6 +192,16 @@ def call_consensus(
     if len(dataset) == 0:
         raise ValueError(f"no images found in {len(files)} input files")
     log.info("%d images across %d files", len(dataset), len(files))
+
+    shard_indices = None
+    if multihost and host_shard == "image":
+        from helen_tpu.parallel.multihost import host_image_shard
+
+        shard_indices = host_image_shard(len(dataset))
+        log.info("host %d/%d takes %d/%d images", shard_id,
+                 jax.process_count(), len(shard_indices), len(dataset))
+        if not shard_indices:
+            return []
 
     step, shard_multiple = make_consensus_step(params, data_parallel, precision, backend)
     log.info("consensus backend: %s", step.backend)
@@ -190,7 +214,7 @@ def call_consensus(
     written = skipped = 0
 
     with PredictionStore(out_path, mode) as store, profile_trace(profile_dir):
-        indices = list(range(len(dataset)))
+        indices = shard_indices if shard_indices is not None else list(range(len(dataset)))
         windows.start()
         total_batches = (len(indices) + eff_batch - 1) // eff_batch
 

@@ -65,6 +65,7 @@ def polish(
     profile_dir: Optional[str] = None,
     backend: Optional[str] = None,
     pack: bool = False,
+    host_shard: str = "image",
 ) -> str:
     """Full polish: images -> consensus -> stitch -> polished FASTA path."""
     from helen_tpu.infer.consensus import call_consensus
@@ -96,6 +97,7 @@ def polish(
             profile_dir=profile_dir,
             backend=backend,
             pack=pack,
+            host_shard=host_shard,
         )
     with timer.stage("stitch"):
         fasta = perform_stitch(pred_dir, output_dir, output_prefix, threads)

@@ -1,5 +1,9 @@
 from helen_tpu.io.images import ImageRecord, MarginPolishDataset, batched_image_iterator
-from helen_tpu.io.prediction_store import PredictionStore, read_prediction_regions
+from helen_tpu.io.prediction_store import (
+    PredictionStore,
+    read_prediction_regions,
+    read_region_chunks,
+)
 from helen_tpu.io.fasta import write_fasta
 
 __all__ = [
@@ -8,5 +12,6 @@ __all__ = [
     "batched_image_iterator",
     "PredictionStore",
     "read_prediction_regions",
+    "read_region_chunks",
     "write_fasta",
 ]

@@ -16,7 +16,7 @@ an interrupted consensus run can skip already-written groups.
 """
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Optional, Set, Tuple
+from typing import Dict, Iterator, List, Optional, Sequence, Set, Tuple
 
 import h5py
 import numpy as np
@@ -125,11 +125,15 @@ def list_contigs(prediction_files: List[str]) -> List[str]:
 
 def list_region_keys(
     prediction_files: List[str], contig: str
-) -> List[Tuple[str, str, int, int]]:
-    """All (file, region_key, start, end) tuples for a contig across files
-    (reference StitchInterface.py:82-95)."""
-    out: List[Tuple[str, str, int, int]] = []
-    for path in prediction_files:
+) -> List[Tuple[Tuple[str, ...], str, int, int]]:
+    """All (files, region_key, start, end) tuples for a contig, with each
+    region grouped across every prediction file that holds chunks of it
+    (reference StitchInterface.py:82-95 — but cross-file: image-granular
+    multi-host sharding can land different chunks of one region in different
+    host shards, and the stitcher must merge them positionally, never join
+    partial per-file sequences)."""
+    regions: Dict[str, Tuple[List[str], int, int]] = {}
+    for path in sorted(prediction_files):
         with h5py.File(path, "r") as f:
             if PRED_ROOT not in f or contig not in f[PRED_ROOT]:
                 continue
@@ -137,21 +141,55 @@ def list_region_keys(
                 grp = f[PRED_ROOT][contig][region_key]
                 start = int(grp["contig_start"][()])
                 end = int(grp["contig_end"][()])
-                out.append((path, region_key, start, end))
+                if region_key in regions:
+                    regions[region_key][0].append(path)
+                else:
+                    regions[region_key] = ([path], start, end)
+    out = [
+        (tuple(paths), region_key, start, end)
+        for region_key, (paths, start, end) in regions.items()
+    ]
     return sorted(out, key=lambda t: (t[2], t[3]))
+
+
+def read_region_chunks(
+    paths: Sequence[str], contig: str, region_key: str
+) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Yield (position, bases, rles) per image chunk of a region, merged
+    across prediction files, in globally sorted chunk-name order (reference
+    Stitch.py:204-225). A chunk present in several files (e.g. an overlapping
+    resumed run) is taken from the first file in sorted-path order, matching
+    the store's first-write-wins dedupe."""
+    per_file: List[Dict[str, "h5py.Group"]] = []
+    handles = []
+    try:
+        for path in sorted(paths):
+            f = h5py.File(path, "r")
+            handles.append(f)
+            grp = f[PRED_ROOT][contig][region_key]
+            per_file.append({
+                k: grp[k] for k in grp.keys()
+                if k not in ("contig_start", "contig_end")
+            })
+        seen: Set[str] = set()
+        names = sorted({name for chunks in per_file for name in chunks})
+        for name in names:
+            for chunks in per_file:
+                if name in chunks and name not in seen:
+                    seen.add(name)
+                    g = chunks[name]
+                    yield (
+                        np.asarray(g["position"][()], dtype=np.int64),
+                        np.asarray(g["bases"][()], dtype=np.int64),
+                        np.asarray(g["rles"][()], dtype=np.int64),
+                    )
+    finally:
+        for f in handles:
+            f.close()
 
 
 def read_prediction_regions(
     path: str, contig: str, region_key: str
 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Yield (position, bases, rles) per image chunk of a region, in sorted
-    chunk order (reference Stitch.py:204-225)."""
-    with h5py.File(path, "r") as f:
-        grp = f[PRED_ROOT][contig][region_key]
-        chunk_names = sorted(k for k in grp.keys() if k not in ("contig_start", "contig_end"))
-        for name in chunk_names:
-            yield (
-                np.asarray(grp[name]["position"][()], dtype=np.int64),
-                np.asarray(grp[name]["bases"][()], dtype=np.int64),
-                np.asarray(grp[name]["rles"][()], dtype=np.int64),
-            )
+    """Single-file variant of read_region_chunks."""
+    yield from read_region_chunks([path], contig, region_key)

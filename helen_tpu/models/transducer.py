@@ -123,6 +123,15 @@ def consensus_probs(
     rle_acc = jnp.zeros((B, L, nr), dtype=jnp.float32)
     hidden = init_hidden(B, model_cfg)
 
+    # NOTE (explored and rejected, 2026-08): hoisting the encoder input
+    # projection over the whole image — project (L, B, F) once, slice
+    # (W, B, 3H) windows from the result — is bit-identical and saves the
+    # ~2x recompute of window-overlap columns, but measured 426K -> 332K
+    # windows/s/chip on v5e at B=1024: the full-image projections (2 x 1.5 GB
+    # fp32) add HBM residency and every window slice becomes an HBM copy
+    # feeding the Pallas stream, which costs more than the saved MXU work.
+    # Recomputing the projection per window fuses it into the kernel's input
+    # stream and stays resident in VMEM.
     def body(carry, start):
         hidden, base_acc, rle_acc = carry
         x = lax.dynamic_slice(images, (0, start, 0), (B, W, F))

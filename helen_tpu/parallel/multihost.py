@@ -8,11 +8,13 @@ Replaces the reference's localhost-only gloo rendezvous
     ``jax.devices()`` spans all hosts and the mesh helpers in
     helen_tpu.parallel.mesh build global meshes whose collectives ride ICI
     within a slice and DCN across slices;
-  * inference shards **files per host** (the reference's caller-sharding,
-    CallConsensusInterface.py:134-145, but host-granular): each host runs the
-    local consensus driver over its file shard and writes
-    ``<prefix>_<host>.hdf`` — zero cross-host communication, embarrassingly
-    parallel, and stitch consumes all shards;
+  * inference shards work per host — **images** round-robin by default
+    (balanced regardless of per-file image-count skew), or whole **files**
+    (the reference's caller-sharding, CallConsensusInterface.py:134-145,
+    host-granular): each host runs the local consensus driver over its shard
+    and writes ``<prefix>_<host>.hdf`` — zero cross-host communication,
+    embarrassingly parallel, and stitch merges all shards (including regions
+    whose chunks span shards);
   * training uses a global-mesh sharded step (parallel.sharding) — gradient
     psum is inserted by XLA; eval confusion matrices are summed across hosts
     with ``multihost_utils.process_allgather``.

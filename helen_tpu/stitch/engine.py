@@ -31,7 +31,7 @@ from typing import Iterable, List, Sequence, Tuple
 import numpy as np
 
 from helen_tpu.config import STITCH, StitchConfig
-from helen_tpu.io.prediction_store import list_region_keys, read_prediction_regions
+from helen_tpu.io.prediction_store import list_region_keys, read_region_chunks
 from helen_tpu.obs import get_logger
 from helen_tpu.stitch._native import get_lib
 from helen_tpu.stitch.aligner import Aligner, Alignment, Filter
@@ -244,14 +244,16 @@ def alignment_stitch(
 
 def _stitch_key_group(
     contig: str,
-    key_group: Sequence[Tuple[str, str, int, int]],
+    key_group: Sequence[Tuple[Tuple[str, ...], str, int, int]],
     cfg: StitchConfig,
 ) -> Tuple[str, int, int, str]:
     """Worker: decode each region in the group, then join them.
-    (Equivalent of reference Stitch.small_chunk_stitch.)"""
+    (Equivalent of reference Stitch.small_chunk_stitch.) Each region's chunks
+    are merged across all prediction files holding them (image-granular
+    multi-host shards interleave a region's chunks across host files)."""
     region_sequences = []
-    for file_path, region_key, start, end in key_group:
-        seq = merge_region_chunks(read_prediction_regions(file_path, contig, region_key))
+    for file_paths, region_key, start, end in key_group:
+        seq = merge_region_chunks(read_region_chunks(file_paths, contig, region_key))
         region_sequences.append((contig, int(start), int(end), seq))
     return alignment_stitch(region_sequences, cfg)
 

@@ -26,6 +26,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "timeout(seconds): advisory wall-clock budget for a test"
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)

@@ -97,7 +97,7 @@ def test_prediction_store_roundtrip(tmp_path):
         store.write_prediction("ctg", 0, 100, 0, pos, np.array([4, 4, 4, 4, 4]), np.array([9, 9, 9, 9, 9]))
     assert list_contigs([path]) == ["ctg"]
     keys = list_region_keys([path], "ctg")
-    assert keys == [(path, "ctg-0-100", 0, 100)]
+    assert keys == [((path,), "ctg-0-100", 0, 100)]
     chunks = list(read_prediction_regions(path, "ctg", "ctg-0-100"))
     assert len(chunks) == 1
     _, bases, rles = chunks[0]

@@ -29,11 +29,13 @@ def test_two_process_distributed_job(tmp_path):
     workdir = str(tmp_path)
     images = tmp_path / "images"
     images.mkdir()
-    # two files so each host's round-robin shard gets one
+    # two files; image-granular sharding round-robins the images across the
+    # hosts, and region_cols > 1000 means each region's chunks are split
+    # across the two hosts' prediction shards (the stitcher must merge them)
     write_image_file(str(images / "a.h5"), {"cA": random_sequence(3000, seed=1)},
-                     region_cols=700, overlap_cols=60, noise=0.1)
+                     region_cols=1500, overlap_cols=60, noise=0.1)
     write_image_file(str(images / "b.h5"), {"cB": random_sequence(3000, seed=2)},
-                     region_cols=700, overlap_cols=60, noise=0.1)
+                     region_cols=1500, overlap_cols=60, noise=0.1)
     torch.manual_seed(3)
     torch.save(
         {"model_state_dict": TorchTransducer().state_dict(), "model_optimizer": {},

@@ -86,8 +86,8 @@ def test_consensus_pack_matches_unpacked(image_files, tmp_path):
         assert [k[1:] for k in ka] == [k[1:] for k in kb]
         for (pa, ra, _, _), (pb, rb, _, _) in zip(ka, kb):
             for (posa, ba, rlea), (posb, bb, rleb) in zip(
-                read_prediction_regions(pa, contig, ra),
-                read_prediction_regions(pb, contig, rb),
+                read_prediction_regions(pa[0], contig, ra),
+                read_prediction_regions(pb[0], contig, rb),
             ):
                 np.testing.assert_array_equal(ba, bb)
                 np.testing.assert_array_equal(rlea, rleb)

@@ -180,6 +180,45 @@ def test_golden_stitch_multifile(tmp_path):
     assert seq == truth
 
 
+def test_golden_stitch_region_chunks_split_across_files(tmp_path):
+    """Image-granular multi-host sharding interleaves the CHUNKS of one
+    region across host shard files; the stitcher must merge each region
+    across all files (never join gappy per-file partial sequences)."""
+    from helen_tpu.io.prediction_store import PredictionStore
+    from helen_tpu.io.synthetic import partition_regions, rle_encode
+
+    truth = random_sequence(30000, seed=55)
+    bases, runs = rle_encode(truth, max_run=10)
+    # region_cols > seq_length (1000) so every region has multiple chunks
+    regions = partition_regions(bases, runs, "chrT", region_cols=2500,
+                                overlap_cols=80)
+    single = str(tmp_path / "single_0.hdf")
+    p1 = str(tmp_path / "shard_0.hdf")
+    p2 = str(tmp_path / "shard_1.hdf")
+    stores = [PredictionStore(p1, "w"), PredictionStore(p2, "w")]
+    with PredictionStore(single, "w") as ref_store:
+        i = 0
+        for region in regions:
+            ncols = region.bases.shape[0]
+            position = np.zeros((ncols, 3), dtype=np.int64)
+            position[:, 0] = np.arange(region.col_start, region.col_start + ncols)
+            for chunk_id, cstart in enumerate(range(0, ncols, 1000)):
+                cend = min(cstart + 1000, ncols)
+                args = ("chrT", region.contig_start, region.contig_end, chunk_id,
+                        position[cstart:cend], region.bases[cstart:cend],
+                        region.runs[cstart:cend])
+                ref_store.write_prediction(*args)
+                stores[i % 2].write_prediction(*args)  # round-robin chunks
+                i += 1
+    for s in stores:
+        s.close()
+    assert i >= 2 * len(regions), "regions must span multiple chunks"
+    expected = stitch_contig([single], "chrT", threads=1)
+    assert expected == truth
+    # same answer whether a region's chunks live in one file or two
+    assert stitch_contig([p1, p2], "chrT", threads=2) == truth
+
+
 class _StringStitch:
     """Direct string-based replay of the reference merge loop (Stitch.py:96-190),
     used as an oracle for the segment-rope implementation."""
@@ -284,7 +323,7 @@ def test_stitch_worker_failure_propagates(tmp_path):
     keys = list_region_keys([path], "c")
     # corrupt one key to point at a missing file: the pool worker raises,
     # the in-process retry raises again, and the error must propagate
-    bad = [(str(tmp_path / "missing.hdf"),) + keys[3][1:]] + keys[:3] + keys[4:]
+    bad = [((str(tmp_path / "missing.hdf"),),) + keys[3][1:]] + keys[:3] + keys[4:]
     from helen_tpu.stitch.engine import Stitcher, _stitch_key_group
     from helen_tpu.utils.filesystem import chunk_list
 
