@@ -38,8 +38,9 @@ def main() -> None:
     n_chips = jax.local_device_count()
     params = jax.device_put(init_params(jax.random.PRNGKey(0)))
 
-    # parity backend (fused Pallas window kernel on TPU — labels bit-identical
-    # to the reference algorithm; --fast/pallas_fast is ~1.5x beyond this);
+    # parity backend (fused Pallas window kernel on TPU with full-fp32
+    # matmul precision — exact replay of the reference vote arithmetic;
+    # --fast/pallas_fast is ~2x beyond this at bf16);
     # sum-reduce the labels so each step's completion is observable with a
     # scalar readback (full label readback would re-measure relay bandwidth)
     backend = "pallas" if jax.local_devices()[0].platform in ("tpu", "axon") else "xla"

@@ -9,8 +9,9 @@ written to a resumable HDF5 store. Multi-device execution shards the batch
 across a 1-D device mesh with jax.sharding — no process spawning, no gloo.
 
 Per the reference contract, uint8 images are converted to float32 and the
-window/vote arithmetic replayed exactly, so labels match the reference
-implementation bit-for-bit (verified in tests/test_model_parity.py).
+window/vote arithmetic replayed exactly — bit-for-bit on CPU (verified in
+tests/test_model_parity.py); on TPU the parity backends force full-fp32
+matmul passes (see docs/performance.md, "The fp32 parity trap on TPU").
 """
 from __future__ import annotations
 
@@ -48,7 +49,7 @@ class ConsensusStep:
         devices = jax.local_devices()
         self.shard_multiple = len(devices) if data_parallel else 1
         if backend is None:
-            # the fused Pallas window kernel (bit-identical labels) on TPU;
+            # the fused Pallas window kernel (fp32 parity path) on TPU;
             # plain lax.scan elsewhere
             backend = "pallas" if devices[0].platform in ("tpu", "axon") else "xla"
         self.backend = backend

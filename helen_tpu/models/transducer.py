@@ -71,9 +71,9 @@ def forward(
     :param x: (B, W, F) float input window
     :param hidden: (B, 2, H) carried hidden ([:, 0] fwd, [:, 1] bwd)
     :param backend: "xla" (lax.scan recurrence), "pallas" (fused TPU window
-        kernel, helen_tpu.ops.gru_pallas — bit-identical outputs), or
-        "pallas_fast" (bf16 matmuls with f32 accumulation — fastest, not
-        strictly bit-identical)
+        kernel, helen_tpu.ops.gru_pallas — same fp32 arithmetic), or
+        "pallas_fast" (bf16 matmuls with f32 accumulation — fastest; labels
+        can flip on near-tie votes)
     :returns: (base logits (B, W, 5), rle logits (B, W, 11), new hidden (B, 2, H))
     """
     if backend in ("pallas", "pallas_fast"):
@@ -112,7 +112,18 @@ def consensus_probs(
 
     :param images: (B, L, F) float32
     :returns: (base_probs (B, L, 5), rle_probs (B, L, 11)) summed votes
+
+    Parity backends default to Precision.HIGH matmuls: the TPU's DEFAULT
+    fp32 dot rounds operands to bf16, which costs ~0.5% label flips vs the
+    fp32 reference — the opposite of what the fp32 path is for. HIGH
+    (bf16x3 passes, ~fp32-accurate) brings that to ~3e-5 near-tie flips at
+    ~30% less cost than HIGHEST; the Pallas kernel's in-kernel dots use
+    HIGHEST (Mosaic has no HIGH). Measured on v5e: DEFAULT 312+245 flips
+    per 64000 labels, HIGH 2+2, HIGHEST 2+0 (random weights — adversarial:
+    trained models have far fewer near-ties). pallas_fast keeps bf16.
     """
+    if precision is None and backend in ("pallas", "xla"):
+        precision = lax.Precision.HIGH
     B, L, F = images.shape
     W = window_cfg.window
     starts = jnp.asarray(window_cfg.starts(L), dtype=jnp.int32)

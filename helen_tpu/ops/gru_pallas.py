@@ -46,9 +46,34 @@ import jax.numpy as jnp
 H = 128  # transducer hidden size (config.MODEL.hidden_size)
 
 
-def _gru_gates(h, xp, w, b_hh):
-    # w/xp may be bf16 (fast mode); accumulation and gates stay f32
-    hp = jnp.dot(h.astype(w.dtype), w, preferred_element_type=jnp.float32) + b_hh
+def _split_bf16x2(w):
+    """Split fp32 into (hi, lo) bf16 parts with hi + lo covering ~fp32 mantissa."""
+    hi = w.astype(jnp.bfloat16)
+    lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _gru_gates(h, xp, w_hi, w_lo, b_hh):
+    # xp may be bf16 (fast mode); accumulation and gates always f32.
+    # fast mode (w_lo is None): a single bf16 MXU product.
+    # parity mode: the MXU's DEFAULT fp32 dot rounds operands to bf16
+    # (~3e-3 vote error, ~0.5% label flips vs the fp32 reference), and
+    # Mosaic implements neither Precision.HIGH nor a cheap true-fp32 pass —
+    # so run the bf16x3 ("Precision.HIGH") product manually: h and w split
+    # into hi+lo bf16 halves, the three significant cross products summed in
+    # f32 (w is pre-split outside the kernel). Measured on v5e: label parity
+    # identical to Precision.HIGHEST (2+2 near-tie flips per 128k labels,
+    # ~1e-5 vote error vs the fp32 reference) at ~25% more throughput
+    # (docs/performance.md, "The fp32 parity trap on TPU").
+    if w_lo is None:
+        hp = jnp.dot(h.astype(w_hi.dtype), w_hi,
+                     preferred_element_type=jnp.float32) + b_hh
+    else:
+        h_hi, h_lo = _split_bf16x2(h)
+        f32 = jnp.float32
+        hp = (jnp.dot(h_hi, w_hi, preferred_element_type=f32)
+              + jnp.dot(h_lo, w_hi, preferred_element_type=f32)
+              + jnp.dot(h_hi, w_lo, preferred_element_type=f32)) + b_hh
     xp = xp.astype(jnp.float32)
     r = jax.nn.sigmoid(xp[:, :H] + hp[:, :H])
     z = jax.nn.sigmoid(xp[:, H : 2 * H] + hp[:, H : 2 * H])
@@ -57,11 +82,12 @@ def _gru_gates(h, xp, w, b_hh):
 
 
 def _kernel(
-    xp_f_ref, xp_b_ref, h0_f_ref, h0_b_ref, w_f_ref, w_b_ref,
+    xp_f_ref, xp_b_ref, h0_f_ref, h0_b_ref,
+    wf_hi_ref, wb_hi_ref, wf_lo_ref, wb_lo_ref,
     bh_f_ref, bh_b_ref,
     out_f_ref, out_b_ref, hf_ref, hb_ref,
     h_f, h_b,
-    *, T: int,
+    *, T: int, fast: bool,
 ):
     import jax.experimental.pallas as pl
 
@@ -72,8 +98,10 @@ def _kernel(
         h_f[:] = h0_f_ref[:]
         h_b[:] = h0_b_ref[:]
 
-    hf_new = _gru_gates(h_f[:], xp_f_ref[0], w_f_ref[:], bh_f_ref[:])
-    hb_new = _gru_gates(h_b[:], xp_b_ref[0], w_b_ref[:], bh_b_ref[:])
+    wf_lo = None if fast else wf_lo_ref[:]
+    wb_lo = None if fast else wb_lo_ref[:]
+    hf_new = _gru_gates(h_f[:], xp_f_ref[0], wf_hi_ref[:], wf_lo, bh_f_ref[:])
+    hb_new = _gru_gates(h_b[:], xp_b_ref[0], wb_hi_ref[:], wb_lo, bh_b_ref[:])
     h_f[:] = hf_new
     h_b[:] = hb_new
     out_f_ref[0] = hf_new
@@ -119,6 +147,17 @@ def fused_bigru_window(
     Bt = block_b or _pick_block(B)
     assert B % Bt == 0, f"batch {B} not divisible by block {Bt}"
 
+    # bf16 weights select fast mode (single bf16 product); fp32 weights are
+    # pre-split into hi+lo bf16 halves for the in-kernel bf16x3 parity
+    # product (see _gru_gates)
+    fast = w_f.dtype == jnp.bfloat16
+    if fast:
+        wf_hi, wb_hi = w_f, w_b
+        wf_lo, wb_lo = jnp.zeros_like(w_f), jnp.zeros_like(w_b)  # never read
+    else:
+        wf_hi, wf_lo = _split_bf16x2(w_f)
+        wb_hi, wb_lo = _split_bf16x2(w_b)
+
     grid = (B // Bt, T)
     specs = dict(
         xp=lambda rev: pl.BlockSpec(
@@ -138,12 +177,12 @@ def fused_bigru_window(
     )
 
     out_f, out_b, hf, hb = pl.pallas_call(
-        functools.partial(_kernel, T=T),
+        functools.partial(_kernel, T=T, fast=fast),
         grid=grid,
         in_specs=[
             specs["xp"](False), specs["xp"](True),
             specs["h0"], specs["h0"],
-            specs["w"], specs["w"],
+            specs["w"], specs["w"], specs["w"], specs["w"],
             specs["bias"], specs["bias"],
         ],
         out_specs=[
@@ -161,7 +200,7 @@ def fused_bigru_window(
             pltpu.VMEM((Bt, H), jnp.float32),
         ],
         interpret=interpret,
-    )(xp_f, xp_b, h0_f, h0_b, w_f, w_b, bh_f, bh_b)
+    )(xp_f, xp_b, h0_f, h0_b, wf_hi, wb_hi, wf_lo, wb_lo, bh_f, bh_b)
     return out_f, out_b, hf, hb
 
 

@@ -102,3 +102,21 @@ def test_init_params_shapes():
     assert p["base_head"]["w"].shape == (256, 5)
     assert p["rle_head"]["w"].shape == (256, 11)
     assert 460_000 < num_params(p) < 480_000
+
+
+def test_parity_backends_request_high_precision():
+    """The TPU MXU's DEFAULT fp32 dot rounds operands to bf16 (~0.5% label
+    flips vs the fp32 reference, measured on v5e — docs/performance.md); the
+    parity backends must therefore request HIGH/HIGHEST matmul precision
+    explicitly. Guard the default so a refactor cannot silently drop it."""
+    import jax
+
+    from helen_tpu.config import MODEL, WINDOW
+    from helen_tpu.models.transducer import consensus_labels, init_params
+
+    params = init_params(jax.random.PRNGKey(0), MODEL)
+    x = jnp.zeros((1, 1000, 90), jnp.float32)
+    jaxpr = str(jax.make_jaxpr(
+        lambda p, im: consensus_labels(p, im, WINDOW, MODEL, backend="xla")
+    )(params, x))
+    assert "Precision.HIGH" in jaxpr

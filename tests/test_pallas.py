@@ -1,5 +1,7 @@
-"""Fused Pallas GRU kernel tests (interpret mode on CPU; the real-TPU path is
-exercised by bench.py and was verified bit-identical on hardware)."""
+"""Fused Pallas GRU kernel tests (interpret mode on CPU; the real-TPU path
+is exercised by bench.py and was audited on hardware against a torch-CPU
+replay: full-fp32 precision gives max vote error ~1e-5, ~2 near-tie label
+flips per 64k — docs/performance.md)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
