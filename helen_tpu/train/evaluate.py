@@ -35,6 +35,13 @@ def make_eval_step(params, precision=None):
     from helen_tpu.models.transducer import forward, init_hidden
     from helen_tpu.train.loss import cross_entropy, weighted_cross_entropy
 
+    if precision is None:
+        # metric fidelity: TPU DEFAULT fp32 dots round operands to bf16,
+        # which shifts per-window argmaxes and hence confusion matrices;
+        # HIGH keeps eval numbers comparable with the fp32 reference
+        # (docs/performance.md, "The fp32 parity trap on TPU")
+        precision = jax.lax.Precision.HIGH
+
     W = WINDOW.window
     starts = jnp.asarray(WINDOW.starts(IMAGE.seq_length), dtype=jnp.int32)
     nb, nr = MODEL.num_base_classes, MODEL.num_rle_classes
