@@ -134,8 +134,9 @@ def call_consensus(
 ) -> List[str]:
     """Run consensus calling over a directory of MarginPolish images.
 
-    Writes ``<output_dir>/<output_prefix>_0.hdf`` (single prediction shard —
-    shard-per-host when running multi-host; see parallel.multihost).
+    Writes ``<output_dir>/<output_prefix>_<process_index>.hdf`` (one
+    prediction shard per host — ``_0`` in single-process runs; see
+    parallel.multihost).
     ``pack=True`` builds (or reuses) a packed contiguous cache of the images
     for slab-read streaming — ~10-30x faster host IO on large runs.
 
@@ -156,13 +157,16 @@ def call_consensus(
 
     # multi-host jobs shard the work per host automatically and write one
     # prediction shard per host; output placement stays deterministic because
-    # each image's (region, chunk) store key is intrinsic to the image
+    # each image's (region, chunk) store key is intrinsic to the image.
+    # shard_id is always this process's index, so explicitly pre-sharded
+    # ``image_files`` callers also get distinct per-host output files.
     import jax
 
-    shard_id = 0
-    multihost = jax.process_count() > 1 and image_files is None
-    if multihost:
-        shard_id = jax.process_index()
+    shard_id = jax.process_index()
+    auto_shard = jax.process_count() > 1 and image_files is None
+    shard_indices: Optional[List[int]] = None
+    dataset = None
+    if auto_shard:
         if host_shard == "file":
             from helen_tpu.parallel.multihost import host_file_shard
 
@@ -170,6 +174,15 @@ def call_consensus(
             log.info("host %d/%d takes %d input files", shard_id,
                      jax.process_count(), len(files))
             if not files:
+                return []
+        else:
+            from helen_tpu.parallel.multihost import host_image_shard
+
+            dataset = MarginPolishDataset(files, IMAGE)
+            shard_indices = host_image_shard(len(dataset))
+            log.info("host %d/%d takes %d/%d images", shard_id,
+                     jax.process_count(), len(shard_indices), len(dataset))
+            if not shard_indices:
                 return []
     out_path = os.path.join(output_dir, f"{output_prefix}_{shard_id}.hdf")
 
@@ -180,29 +193,22 @@ def call_consensus(
     if pack:
         from helen_tpu.io.packed import PackedDataset, cache_is_fresh, pack_images
 
-        # per-shard cache name: hosts may share output_dir on a network fs
-        cache_name = "images_cache.h5" if not multihost else f"images_cache_{shard_id}.h5"
+        # per-shard cache name: hosts may share output_dir on a network fs;
+        # with image sharding each host packs ONLY its own index slice
+        cache_name = ("images_cache.h5" if jax.process_count() == 1
+                      else f"images_cache_{shard_id}.h5")
         cache_path = os.path.join(output_dir, cache_name)
-        if not cache_is_fresh(cache_path, files):
+        if not cache_is_fresh(cache_path, files, indices=shard_indices):
             log.info("building packed image cache %s", cache_path)
-            pack_images(files, cache_path, IMAGE)
+            pack_images(files, cache_path, IMAGE, indices=shard_indices)
         packed_ds = PackedDataset(cache_path)
         dataset = packed_ds
-    else:
+        shard_indices = None  # the cache holds exactly this host's images
+    elif dataset is None:
         dataset = MarginPolishDataset(files, IMAGE)
     if len(dataset) == 0:
         raise ValueError(f"no images found in {len(files)} input files")
     log.info("%d images across %d files", len(dataset), len(files))
-
-    shard_indices = None
-    if multihost and host_shard == "image":
-        from helen_tpu.parallel.multihost import host_image_shard
-
-        shard_indices = host_image_shard(len(dataset))
-        log.info("host %d/%d takes %d/%d images", shard_id,
-                 jax.process_count(), len(shard_indices), len(dataset))
-        if not shard_indices:
-            return []
 
     step, shard_multiple = make_consensus_step(params, data_parallel, precision, backend)
     log.info("consensus backend: %s", step.backend)

@@ -67,25 +67,44 @@ def polish(
     pack: bool = False,
     host_shard: str = "image",
 ) -> str:
-    """Full polish: images -> consensus -> stitch -> polished FASTA path."""
+    """Full polish: images -> consensus -> stitch -> polished FASTA path.
+
+    Multi-host jobs are coordinated: process 0 picks the predictions
+    directory and broadcasts it (timestamps can differ across hosts), every
+    host writes its consensus shard into that one directory, a barrier
+    ensures all shards are complete, and only process 0 stitches (the FASTA
+    path is still returned on every host).
+    """
+    import jax
+
     from helen_tpu.infer.consensus import call_consensus
 
     timer = StageTimer()
     output_dir = ensure_output_dir(output_dir)
+    multi = jax.process_count() > 1
     pred_dir = None
-    if resume:
-        # reuse the newest predictions dir so --resume actually finds the
-        # partially-written store from the interrupted run
-        existing = sorted(
-            d for d in os.listdir(output_dir)
-            if d.startswith("predictions_")
-            and os.path.isdir(os.path.join(output_dir, d))
+    if not multi or jax.process_index() == 0:
+        if resume:
+            # reuse the newest predictions dir so --resume actually finds the
+            # partially-written store from the interrupted run
+            existing = sorted(
+                d for d in os.listdir(output_dir)
+                if d.startswith("predictions_")
+                and os.path.isdir(os.path.join(output_dir, d))
+            )
+            if existing:
+                pred_dir = os.path.join(output_dir, existing[-1])
+                log.info("resuming into %s", pred_dir)
+        if pred_dir is None:
+            pred_dir = timestamped_dir(output_dir, "predictions")
+    if multi:
+        from helen_tpu.parallel import multihost
+
+        name = multihost.broadcast_name(
+            os.path.basename(pred_dir) if pred_dir else ""
         )
-        if existing:
-            pred_dir = os.path.join(output_dir, existing[-1])
-            log.info("resuming into %s", pred_dir)
-    if pred_dir is None:
-        pred_dir = timestamped_dir(output_dir, "predictions")
+        pred_dir = os.path.join(output_dir, name)
+        os.makedirs(pred_dir, exist_ok=True)
     with timer.stage("call_consensus"):
         call_consensus(
             image_dir=image_dir,
@@ -99,7 +118,13 @@ def polish(
             pack=pack,
             host_shard=host_shard,
         )
-    with timer.stage("stitch"):
-        fasta = perform_stitch(pred_dir, output_dir, output_prefix, threads)
+    fasta = os.path.join(output_dir, output_prefix + ".fa")
+    if multi:
+        multihost.barrier("consensus-shards-complete")
+    if not multi or jax.process_index() == 0:
+        with timer.stage("stitch"):
+            fasta = perform_stitch(pred_dir, output_dir, output_prefix, threads)
+    if multi:
+        multihost.barrier("stitch-complete")
     log.info("polish complete:\n%s", timer.report())
     return fasta

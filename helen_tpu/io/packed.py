@@ -43,10 +43,17 @@ def pack_images(
     image_config: ImageConfig = IMAGE,
     with_labels: bool = False,
     chunk_rows: int = 256,
+    indices: Optional[Sequence[int]] = None,
 ) -> int:
-    """Build a packed cache from MarginPolish files; returns image count."""
+    """Build a packed cache from MarginPolish files; returns image count.
+
+    ``indices`` packs only that subset of the files' image index (used by
+    image-granular multi-host sharding so each host packs just its slice);
+    the subset is recorded in the cache and checked by cache_is_fresh.
+    """
     ds = MarginPolishDataset(files, image_config, with_labels=with_labels)
-    n = len(ds)
+    idx = list(indices) if indices is not None else list(range(len(ds)))
+    n = len(idx)
     if n == 0:
         raise ValueError("no images to pack")
     L, F = image_config.seq_length, image_config.feature_dim
@@ -67,20 +74,20 @@ def pack_images(
         chunk_ids = np.zeros(n, dtype=np.int32)
         lb = g.create_dataset("label_base", (n, L), dtype=np.uint8) if with_labels else None
         lr = g.create_dataset("label_rle", (n, L), dtype=np.uint8) if with_labels else None
-        for i in range(n):
+        for j, i in enumerate(idx):
             rec = ds.load(i)
-            images[i] = rec.image
-            positions[i] = rec.position.astype(np.int32)
+            images[j] = rec.image
+            positions[j] = rec.position.astype(np.int32)
             if rec.contig not in contig_idx:
                 contig_idx[rec.contig] = len(contigs)
                 contigs.append(rec.contig)
-            contig_ids[i] = contig_idx[rec.contig]
-            starts[i] = rec.contig_start
-            ends[i] = rec.contig_end
-            chunk_ids[i] = rec.chunk_id
+            contig_ids[j] = contig_idx[rec.contig]
+            starts[j] = rec.contig_start
+            ends[j] = rec.contig_end
+            chunk_ids[j] = rec.chunk_id
             if with_labels:
-                lb[i] = rec.label_base
-                lr[i] = rec.label_rle
+                lb[j] = rec.label_base
+                lr[j] = rec.label_rle
         g["contig_ids"] = contig_ids
         g["contig_start"] = starts
         g["contig_end"] = ends
@@ -90,23 +97,38 @@ def pack_images(
             [os.path.abspath(f).encode() for f in files], dtype="S1024"
         )
         g["source_mtimes"] = np.array([os.path.getmtime(f) for f in files])
+        if indices is not None:
+            g["source_indices"] = np.asarray(idx, dtype=np.int64)
     os.replace(tmp, cache_path)
     log.info("packed %d images into %s", n, cache_path)
     return n
 
 
-def cache_is_fresh(cache_path: str, files: Sequence[str]) -> bool:
-    """True when the cache exists and matches the source files' mtimes."""
+def cache_is_fresh(
+    cache_path: str, files: Sequence[str], indices: Optional[Sequence[int]] = None
+) -> bool:
+    """True when the cache exists, matches the source files' mtimes, and was
+    packed over the same image subset (``indices``; None = all images)."""
     if not os.path.exists(cache_path):
         return False
     try:
         with h5py.File(cache_path, "r") as f:
             srcs = [s.decode() for s in f["packed/source_files"][()]]
             mtimes = list(f["packed/source_mtimes"][()])
+            cached_idx = (
+                f["packed/source_indices"][()]
+                if "source_indices" in f["packed"] else None
+            )
     except Exception:
         return False
     want = [os.path.abspath(p) for p in files]
     if srcs != want:
+        return False
+    if (indices is None) != (cached_idx is None):
+        return False
+    if indices is not None and not np.array_equal(
+        np.asarray(indices, dtype=np.int64), cached_idx
+    ):
         return False
     return all(abs(os.path.getmtime(p) - m) < 1e-6 for p, m in zip(want, mtimes))
 

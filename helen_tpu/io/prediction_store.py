@@ -156,10 +156,14 @@ def read_region_chunks(
     paths: Sequence[str], contig: str, region_key: str
 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Yield (position, bases, rles) per image chunk of a region, merged
-    across prediction files, in globally sorted chunk-name order (reference
-    Stitch.py:204-225). A chunk present in several files (e.g. an overlapping
-    resumed run) is taken from the first file in sorted-path order, matching
-    the store's first-write-wins dedupe."""
+    across prediction files, in globally sorted chunk-NAME order — the
+    lexicographic string sort is deliberate: the reference also sorts the
+    HDF5 group-name strings (Stitch.py:209-211, ``sorted(smaller_chunks)``),
+    so for regions with >= 10 chunks the first-write-wins winner on
+    overlapping positions must follow string order ('10' < '2') to stitch
+    identical sequences. A chunk present in several files (e.g. an
+    overlapping resumed run) is taken from the first file in sorted-path
+    order, matching the store's first-write-wins dedupe."""
     per_file: List[Dict[str, "h5py.Group"]] = []
     handles = []
     try:
@@ -171,18 +175,17 @@ def read_region_chunks(
                 k: grp[k] for k in grp.keys()
                 if k not in ("contig_start", "contig_end")
             })
-        seen: Set[str] = set()
         names = sorted({name for chunks in per_file for name in chunks})
         for name in names:
             for chunks in per_file:
-                if name in chunks and name not in seen:
-                    seen.add(name)
+                if name in chunks:
                     g = chunks[name]
                     yield (
                         np.asarray(g["position"][()], dtype=np.int64),
                         np.asarray(g["bases"][()], dtype=np.int64),
                         np.asarray(g["rles"][()], dtype=np.int64),
                     )
+                    break
     finally:
         for f in handles:
             f.close()

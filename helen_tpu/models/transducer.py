@@ -116,11 +116,14 @@ def consensus_probs(
     Parity backends default to Precision.HIGH matmuls: the TPU's DEFAULT
     fp32 dot rounds operands to bf16, which costs ~0.5% label flips vs the
     fp32 reference — the opposite of what the fp32 path is for. HIGH
-    (bf16x3 passes, ~fp32-accurate) brings that to ~3e-5 near-tie flips at
-    ~30% less cost than HIGHEST; the Pallas kernel's in-kernel dots use
-    HIGHEST (Mosaic has no HIGH). Measured on v5e: DEFAULT 312+245 flips
-    per 64000 labels, HIGH 2+2, HIGHEST 2+0 (random weights — adversarial:
-    trained models have far fewer near-ties). pallas_fast keeps bf16.
+    (bf16x3 passes, ~fp32-accurate) brings that to ~2-per-64k near-tie
+    flips; the Pallas kernel reproduces HIGH in-kernel as a manual hi/lo
+    bf16 operand split (Mosaic implements neither HIGH nor a cheap fp32
+    pass — ops/gru_pallas._gru_gates). Measured on v5e per 2x64000 labels:
+    DEFAULT 312+245 flips, HIGH 2+2, HIGHEST-everywhere 2+0 (random
+    weights — adversarial: trained models have far fewer near-ties).
+    pallas_fast keeps single-pass bf16. docs/performance.md has the
+    throughput/parity matrix.
     """
     if precision is None and backend in ("pallas", "xla"):
         precision = lax.Precision.HIGH

@@ -62,8 +62,9 @@ def _gru_gates(h, xp, w_hi, w_lo, b_hh):
     # so run the bf16x3 ("Precision.HIGH") product manually: h and w split
     # into hi+lo bf16 halves, the three significant cross products summed in
     # f32 (w is pre-split outside the kernel). Measured on v5e: label parity
-    # identical to Precision.HIGHEST (2+2 near-tie flips per 128k labels,
-    # ~1e-5 vote error vs the fp32 reference) at ~25% more throughput
+    # identical to an in-kernel Precision.HIGHEST dot (2+2 near-tie flips
+    # per 128k labels, ~1e-5 vote error vs the fp32 reference) at ~8% more
+    # throughput — ~39% over HIGHEST-everywhere
     # (docs/performance.md, "The fp32 parity trap on TPU").
     if w_lo is None:
         hp = jnp.dot(h.astype(w_hi.dtype), w_hi,

@@ -70,16 +70,38 @@ def host_file_shard(files: Sequence[str], process_index: Optional[int] = None,
 
 def host_image_shard(num_images: int, process_index: Optional[int] = None,
                      process_count: Optional[int] = None) -> List[int]:
-    """Image-granular round-robin shard: better balance than whole-file
-    sharding when files vary in image count (SURVEY.md §8.3 'multi-host
-    input balance'). Pass the resulting indices to call_consensus via
-    ``batched_image_iterator(indices=...)``; output placement stays
-    deterministic because each image's (region, chunk) key is intrinsic."""
+    """Image-granular shard: better balance than whole-file sharding when
+    files vary in image count (SURVEY.md §8.3 'multi-host input balance').
+    Contiguous equal-count blocks, not round-robin: identical balance, but
+    consecutive indices keep HDF5 reads sequential and let the packed cache
+    use slab reads. Output placement stays deterministic because each
+    image's (region, chunk) store key is intrinsic."""
     import jax
 
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
-    return list(range(pi, num_images, pc))
+    start = (num_images * pi) // pc
+    end = (num_images * (pi + 1)) // pc
+    return list(range(start, end))
+
+
+def broadcast_name(name: str, max_len: int = 256) -> str:
+    """Broadcast a short string (e.g. a run-directory name) from process 0
+    to all hosts. Identity in single-process runs."""
+    import jax
+
+    if jax.process_count() == 1:
+        return name
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(max_len, dtype=np.uint8)
+    if jax.process_index() == 0:
+        raw = name.encode("utf-8")
+        if len(raw) > max_len:
+            raise ValueError(f"name too long to broadcast: {name!r}")
+        buf[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+    buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return bytes(buf[buf != 0]).decode("utf-8")
 
 
 def allsum_hosts(array: np.ndarray) -> np.ndarray:

@@ -29,8 +29,10 @@ def main() -> int:
     assert (total == 3.0).all(), total
 
     # image sharding helpers are consistent and complete across hosts
+    # (contiguous equal-count blocks)
     mine = multihost.host_image_shard(10)
-    assert mine == list(range(pid, 10, 2))
+    assert mine == (list(range(0, 5)) if pid == 0 else list(range(5, 10)))
+    assert multihost.broadcast_name("predictions_test") == "predictions_test"
 
     # one full dp x tp sharded training step over the global mesh
     import jax.numpy as jnp
@@ -64,31 +66,35 @@ def main() -> int:
     multihost.barrier("trained")
 
     if workdir:
-        # full multi-host inference pipeline: each host auto-shards the input
-        # files, writes its own prediction shard, then host 0 stitches both
-        # shards into the polished FASTA
+        # full multi-host polish pipeline through the coordinated driver:
+        # process 0 picks + broadcasts the predictions dir, every host
+        # writes its image-shard predictions there, barrier, process 0
+        # stitches (regions' chunks interleave across both shards)
+        import glob
         import os
 
-        from helen_tpu.infer.consensus import call_consensus
-        from helen_tpu.infer.polish import perform_stitch
+        from helen_tpu.infer.polish import polish
         from helen_tpu.io.fasta import read_fasta
 
-        pred_dir = os.path.join(workdir, "preds")
-        call_consensus(
+        out_dir = os.path.join(workdir, "polish_out")
+        fasta = polish(
             image_dir=os.path.join(workdir, "images"),
             model_path=os.path.join(workdir, "model.pkl"),
-            output_dir=pred_dir,
+            output_dir=out_dir,
             batch_size=4,
             num_workers=2,
-            output_prefix="mh",
+            threads=1,
+            output_prefix="mh_polished",
         )
-        assert os.path.exists(os.path.join(pred_dir, f"mh_{pid}.hdf"))
-        multihost.barrier("consensus")
-        if pid == 0:
-            fasta = perform_stitch(pred_dir, workdir, "mh_polished", threads=1)
-            names = sorted(n for n, _ in read_fasta(fasta))
-            assert names == ["cA", "cB"], names
-        multihost.barrier("stitched")
+        # both hosts see one shared predictions dir holding both shards
+        pred_dirs = glob.glob(os.path.join(out_dir, "predictions_*"))
+        assert len(pred_dirs) == 1, pred_dirs
+        shards = sorted(os.path.basename(p)
+                        for p in glob.glob(os.path.join(pred_dirs[0], "*.hdf")))
+        assert shards == ["helen_predictions_0.hdf", "helen_predictions_1.hdf"], shards
+        names = sorted(n for n, _ in read_fasta(fasta))
+        assert names == ["cA", "cB"], names
+        multihost.barrier("polished")
 
     print(f"OK {pid} {loss_val:.6f}", flush=True)
     return 0

@@ -115,8 +115,12 @@ def test_parity_backends_request_high_precision():
     from helen_tpu.models.transducer import consensus_labels, init_params
 
     params = init_params(jax.random.PRNGKey(0), MODEL)
-    x = jnp.zeros((1, 1000, 90), jnp.float32)
-    jaxpr = str(jax.make_jaxpr(
-        lambda p, im: consensus_labels(p, im, WINDOW, MODEL, backend="xla")
-    )(params, x))
-    assert "Precision.HIGH" in jaxpr
+    x = jnp.zeros((8, 1000, 90), jnp.float32)
+    for backend in ("xla", "pallas"):
+        jaxpr = str(jax.make_jaxpr(
+            lambda p, im: consensus_labels(p, im, WINDOW, MODEL, backend=backend)
+        )(params, x))
+        assert "Precision.HIGH" in jaxpr, backend
+        if backend == "pallas":
+            # the kernel's parity product is the manual bf16x3 hi/lo split
+            assert "bfloat16" in jaxpr, "pallas kernel lost its bf16x3 split"

@@ -108,3 +108,18 @@ def test_multihost_helpers_single_process():
     assert host_file_shard(files, 1, 2) == ["f1.h5", "f3.h5"]
     cm = np.ones((3, 3))
     assert (allsum_hosts(cm) == cm).all()
+
+
+def test_host_image_shard_contiguous_complete():
+    """Every image assigned exactly once; per-host slices are contiguous
+    (sequential HDF5 reads / packed slab reads) and count-balanced."""
+    from helen_tpu.parallel.multihost import host_image_shard
+
+    for n, pc in [(10, 2), (11, 3), (7, 8), (0, 2), (1000, 7)]:
+        shards = [host_image_shard(n, pi, pc) for pi in range(pc)]
+        flat = [i for s in shards for i in s]
+        assert flat == list(range(n)), (n, pc)
+        sizes = [len(s) for s in shards]
+        assert max(sizes) - min(sizes) <= 1, (n, pc, sizes)
+        for s in shards:
+            assert s == list(range(s[0], s[-1] + 1)) if s else True
