@@ -7,10 +7,10 @@ NATIVE_DIR := native/build
 
 all: native
 
+# the runtime loader keys the .so per host CPU (-march=native on a shared
+# checkout must not serve one host's AVX build to another); build through it
 native:
-	@mkdir -p $(NATIVE_DIR)
-	g++ -O3 -std=c++17 -march=native -shared -fPIC $(NATIVE_SRC) \
-	  -o $(NATIVE_DIR)/libhelen_stitch.so
+	python -c "from helen_tpu.stitch._native import build_native; print(build_native(force=True))"
 
 # AddressSanitizer build + smoke run of the aligner / RLE expansion.
 # (The reference ships no sanitizer coverage at all; run before releases.)

@@ -40,8 +40,29 @@ def _build_dir() -> str:
     return d
 
 
+def _cpu_token() -> str:
+    """Short id of this host's CPU. The library builds with -march=native,
+    so a .so cached in a repo checkout shared across heterogeneous hosts
+    (multi-host polish on a network filesystem) must be keyed per CPU —
+    otherwise an AVX-512 build SIGILLs on an older neighbor."""
+    import hashlib
+    import platform
+
+    ident = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags", "Features")):
+                    ident.append(line.strip())
+                    if len(ident) >= 3:
+                        break
+    except OSError:
+        pass
+    return hashlib.sha1("\n".join(ident).encode()).hexdigest()[:10]
+
+
 def _so_path() -> str:
-    return os.path.join(_build_dir(), "libhelen_stitch.so")
+    return os.path.join(_build_dir(), f"libhelen_stitch-{_cpu_token()}.so")
 
 
 def build_native(force: bool = False) -> str:
@@ -58,7 +79,12 @@ def build_native(force: bool = False) -> str:
         "g++", "-O3", "-std=c++17", "-march=native", "-shared", "-fPIC",
         _SRC, "-o", tmp,
     ]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"native stitch library failed to compile "
+            f"(exit {proc.returncode}): {' '.join(cmd)}\n{proc.stderr}"
+        )
     os.replace(tmp, so)
     return so
 

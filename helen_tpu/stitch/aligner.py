@@ -110,9 +110,9 @@ class Aligner:
         alignment.query_begin = out.query_begin
         alignment.query_end = out.query_end
         alignment.ref_end_next_best = out.ref_end2
-        ops = [(cigar_buf[i] >> 4, _OP_CHARS.get(cigar_buf[i] & 0xF, "M"))
-               for i in range(max(0, out.cigar_len))]
         if filter.report_cigar and out.score > 0:
+            ops = [(cigar_buf[i] >> 4, _OP_CHARS.get(cigar_buf[i] & 0xF, "M"))
+                   for i in range(max(0, out.cigar_len))]
             alignment.cigar, alignment.cigar_string, alignment.mismatches = (
                 self._convert(ops, q, out)
             )
@@ -150,9 +150,13 @@ class Aligner:
             elif op == "I":
                 full.append((length, "I"))
                 qi += length
+                # the reference counts indel bases as mismatches too
+                # (ssw_cpp.cpp CalculateNumberMismatch, :182 and :188)
+                mismatches += length
             elif op == "D":
                 full.append((length, "D"))
                 ri += length
+                mismatches += length
         tail = len(query) - out.query_end - 1
         if tail > 0:
             full.append((tail, "S"))

@@ -114,8 +114,9 @@ def merge_region_chunks(
     position, bases, rles = position[valid], bases[valid], rles[valid]
     if position.shape[0] == 0:
         return ""
-    arrival = np.arange(position.shape[0])
-    order = np.lexsort((arrival, position[:, 2], position[:, 1], position[:, 0]))
+    # np.lexsort is stable, so equal keys keep arrival order — exactly the
+    # first-write-wins dedupe the reference's dict insert gives
+    order = np.lexsort((position[:, 2], position[:, 1], position[:, 0]))
     p = position[order]
     first = np.ones(p.shape[0], dtype=bool)
     first[1:] = (p[1:] != p[:-1]).any(axis=1)

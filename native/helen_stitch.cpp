@@ -119,15 +119,22 @@ void scan_ends(const int8_t* ref, int ref_dir, int32_t ref_len,
   second->score = 0;
   second->ref = 0;
   second->read = 0;
+  // Reference ssw_align reports (score2=0, ref_end2=-1) whenever
+  // maskLen < 15 (ssw.c:848-854), so the scan only matters above that.
   if (mask_len >= 15) {
     int32_t lo = std::max(0, end_ref - mask_len);
     int32_t hi = std::min(ref_len, end_ref + mask_len);
+    // The reference byte kernel scans from edge+1 (ssw.c:357) but the word
+    // kernel — which ssw_align switches to when the byte score saturates at
+    // 255 (ssw.c:828-831) — includes the edge column (ssw.c:559). Replicate
+    // the kernel the reference would have used for this score.
+    int32_t start = (max >= 255) ? hi : hi + 1;
     for (int32_t i = 0; i < lo; ++i)
       if (max_column[i] > second->score) {
         second->score = max_column[i];
         second->ref = i;
       }
-    for (int32_t i = hi + 1; i < ref_len; ++i)
+    for (int32_t i = start; i < ref_len; ++i)
       if (max_column[i] > second->score) {
         second->score = max_column[i];
         second->ref = i;

@@ -66,6 +66,16 @@ def test_ssw_mismatch_and_gap():
     # 13 matches (52) - gap open 8 = 44
     assert al.best_score == 52 - 8
     assert "D" in al.cigar_string
+    # reference semantics: indel bases count as mismatches too
+    # (ssw_cpp.cpp CalculateNumberMismatch :182,:188)
+    assert al.mismatches == 1
+
+
+def test_ssw_mismatches_count_substitutions_and_indels():
+    al = _align("ACGTACGTACGT", "ACGAACGTACGT")  # one substitution
+    assert al.mismatches == 1
+    al = _align("ACGTACGTACGT", "ACGTACGTACGT")
+    assert al.mismatches == 0
 
 
 @pytest.mark.parametrize("seed", range(12))
