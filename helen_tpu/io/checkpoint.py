@@ -84,7 +84,8 @@ def load_checkpoint(
 ) -> Tuple[Dict[str, Any], Dict[str, Any], Any]:
     """Load (params, meta, opt_state). ``opt_state_template`` (e.g. from
     ``optimizer.init(params)``) supplies the treedef for optimizer state; pass
-    None to skip optimizer restore."""
+    None to skip optimizer restore, or a callable ``params -> template`` to
+    build the template from the loaded params (single file read)."""
     import jax
 
     with np.load(path) as data:
@@ -96,6 +97,8 @@ def load_checkpoint(
         opt_leaves = [data[k] for k in opt_keys]
     params = unflatten_tree(params_flat)
     opt_state = None
+    if callable(opt_state_template) and not hasattr(opt_state_template, "ndim"):
+        opt_state_template = opt_state_template(params) if opt_leaves else None
     if opt_state_template is not None and opt_leaves:
         treedef = jax.tree_util.tree_structure(opt_state_template)
         template_leaves = jax.tree_util.tree_leaves(opt_state_template)

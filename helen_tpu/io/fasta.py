@@ -32,7 +32,8 @@ def read_fasta(path: str):
             if line.startswith(">"):
                 if name is not None:
                     yield name, "".join(chunks)
-                name = line[1:].split()[0]
+                fields = line[1:].split()
+                name = fields[0] if fields else ""  # tolerate a bare '>'
                 chunks = []
             else:
                 chunks.append(line)

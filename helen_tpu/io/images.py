@@ -187,6 +187,47 @@ def _make_batch(
     )
 
 
+def _put_until_stopped(q: "queue.Queue", item, stop: threading.Event) -> bool:
+    """Put onto a bounded queue, re-checking ``stop`` while blocked so an
+    abandoned consumer (exception / early break) can never park the producer
+    thread forever inside q.put(). Returns False if stopped."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.2)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
+def prefetched(make_items, stop: threading.Event, prefetch: int) -> Iterator:
+    """Generic bounded background prefetcher: runs ``make_items`` (an
+    iterator factory) in a daemon thread, forwards items/exceptions, and
+    shuts the producer down when the consumer stops early."""
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+
+    def producer() -> None:
+        try:
+            for item in make_items():
+                if not _put_until_stopped(q, item, stop):
+                    return
+            _put_until_stopped(q, None, stop)
+        except BaseException as exc:  # propagate loader errors to the consumer
+            _put_until_stopped(q, exc, stop)
+
+    threading.Thread(target=producer, daemon=True).start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
 def batched_image_iterator(
     dataset: MarginPolishDataset,
     batch_size: int,
@@ -204,32 +245,16 @@ def batched_image_iterator(
     order = list(indices) if indices is not None else list(range(len(dataset)))
     if not order:
         return
-    q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
     stop = threading.Event()
 
-    def producer() -> None:
-        try:
-            with concurrent.futures.ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
-                for chunk_start in range(0, len(order), batch_size):
-                    if stop.is_set():
-                        return
-                    idxs = order[chunk_start : chunk_start + batch_size]
-                    records = list(pool.map(dataset.load, idxs))
-                    size = batch_size if pad_final else len(records)
-                    q.put(_make_batch(records, size, dataset.with_labels))
-            q.put(None)
-        except BaseException as exc:  # propagate loader errors to the consumer
-            q.put(exc)
+    def make_batches() -> Iterator[ImageBatch]:
+        with concurrent.futures.ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+            for chunk_start in range(0, len(order), batch_size):
+                if stop.is_set():
+                    return
+                idxs = order[chunk_start : chunk_start + batch_size]
+                records = list(pool.map(dataset.load, idxs))
+                size = batch_size if pad_final else len(records)
+                yield _make_batch(records, size, dataset.with_labels)
 
-    thread = threading.Thread(target=producer, daemon=True)
-    thread.start()
-    try:
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-    finally:
-        stop.set()
+    yield from prefetched(make_batches, stop, prefetch)

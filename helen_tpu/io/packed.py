@@ -60,6 +60,19 @@ def pack_images(
     contigs: List[str] = []
     contig_idx = {}
     tmp = cache_path + f".tmp{os.getpid()}"
+    try:
+        _write_pack(tmp, ds, idx, n, L, F, files, with_labels, chunk_rows,
+                    contigs, contig_idx, indices is not None)
+        os.replace(tmp, cache_path)
+    finally:
+        if os.path.exists(tmp):  # failed mid-pack: drop the orphan
+            os.unlink(tmp)
+    log.info("packed %d images into %s", n, cache_path)
+    return n
+
+
+def _write_pack(tmp, ds, idx, n, L, F, files, with_labels, chunk_rows,
+                contigs, contig_idx, subset):
     with h5py.File(tmp, "w") as out:
         g = out.create_group("packed")
         images = g.create_dataset(
@@ -92,16 +105,18 @@ def pack_images(
         g["contig_start"] = starts
         g["contig_end"] = ends
         g["chunk_id"] = chunk_ids
-        g["contigs"] = np.array([c.encode() for c in contigs], dtype="S128")
-        g["source_files"] = np.array(
-            [os.path.abspath(f).encode() for f in files], dtype="S1024"
+        # variable-length strings: fixed-width dtypes would silently truncate
+        # long contig names / paths, diverging from the unpacked path
+        str_dt = h5py.string_dtype()
+        g.create_dataset("contigs", data=[c.encode() for c in contigs], dtype=str_dt)
+        g.create_dataset(
+            "source_files",
+            data=[os.path.abspath(f).encode() for f in files],
+            dtype=str_dt,
         )
         g["source_mtimes"] = np.array([os.path.getmtime(f) for f in files])
-        if indices is not None:
+        if subset:
             g["source_indices"] = np.asarray(idx, dtype=np.int64)
-    os.replace(tmp, cache_path)
-    log.info("packed %d images into %s", n, cache_path)
-    return n
 
 
 def cache_is_fresh(
@@ -196,28 +211,15 @@ class PackedDataset:
 
 def prefetch_iterator(it: Iterator, depth: int = 3) -> Iterator:
     """Run an iterator in a background thread with a bounded queue so slab
-    reads overlap downstream compute."""
-    import queue
+    reads overlap downstream compute (shared stop-aware machinery with
+    images.prefetched — the producer can never block forever on an
+    abandoned consumer)."""
     import threading
 
-    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    from helen_tpu.io.images import prefetched
 
-    def worker():
-        try:
-            for item in it:
-                q.put(item)
-            q.put(None)
-        except BaseException as exc:
-            q.put(exc)
-
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is None:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    stop = threading.Event()
+    yield from prefetched(lambda: it, stop, depth)
 
 
 def packed_batch_iterator(

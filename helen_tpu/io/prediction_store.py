@@ -92,7 +92,15 @@ class PredictionStore:
         rles: np.ndarray,
     ) -> None:
         """Write one image's predictions; duplicate (region, chunk) pairs are
-        first-write-wins, matching the reference dedupe (DataStore.py:104-124)."""
+        first-write-wins, matching the reference dedupe (DataStore.py:104-124).
+
+        position is stored as uint32 exactly like the reference
+        (DataStore.py:125-127): short images' (-1,-1,-1) padding rows wrap to
+        4294967295 on BOTH sides, so the stitch-stage "skip pos<0" check is
+        dead for store-read rows in both pipelines; the wrapped rows share
+        one key, dedupe to a single entry, and sort to the region tail —
+        byte-identical output requires replaying this, so do NOT "fix" the
+        dtype here without changing the parity contract."""
         region = f"{contig}-{contig_start}-{contig_end}"
         base_path = f"{PRED_ROOT}/{contig}/{region}"
         if region not in self._regions:

@@ -110,6 +110,12 @@ def merge_region_chunks(
     position = np.concatenate(pos_list, axis=0)
     bases = np.concatenate(base_list, axis=0)
     rles = np.concatenate(rle_list, axis=0)
+    # mirrors the reference's "skip pos<0" (Stitch.py:232-233). NOTE: rows
+    # read back from the prediction store can never be negative — the store
+    # writes uint32 like the reference, wrapping (-1,-1,-1) padding to
+    # 4294967295 (see prediction_store.write_prediction) — so for store data
+    # this filters nothing and the wrapped padding dedupes to one tail entry,
+    # in both pipelines. The mask still matters for direct in-memory callers.
     valid = (position[:, 0] >= 0) & (position[:, 1] >= 0)
     position, bases, rles = position[valid], bases[valid], rles[valid]
     if position.shape[0] == 0:

@@ -12,6 +12,7 @@ the confusion-matrix diagonals.
 """
 from __future__ import annotations
 
+import functools
 import os
 from typing import Dict, Optional
 
@@ -25,22 +26,17 @@ from helen_tpu.utils.filesystem import ensure_output_dir, list_image_files
 log = get_logger("eval")
 
 
-def make_eval_step(params, precision=None):
-    """Jitted eval over one batch: returns (loss_sum, window_count,
-    base confusion 5x5, rle confusion 11x11)."""
+@functools.lru_cache(maxsize=4)
+def _jitted_eval(precision):
+    """One compiled eval program per precision, shared across epochs —
+    rebuilding jax.jit per evaluate() call would re-trace and re-compile
+    every epoch (remote TPU compiles run 2-300+ s)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     from helen_tpu.models.transducer import forward, init_hidden
     from helen_tpu.train.loss import cross_entropy, weighted_cross_entropy
-
-    if precision is None:
-        # metric fidelity: TPU DEFAULT fp32 dots round operands to bf16,
-        # which shifts per-window argmaxes and hence confusion matrices;
-        # HIGH keeps eval numbers comparable with the fp32 reference
-        # (docs/performance.md, "The fp32 parity trap on TPU")
-        precision = jax.lax.Precision.HIGH
 
     W = WINDOW.window
     starts = jnp.asarray(WINDOW.starts(IMAGE.seq_length), dtype=jnp.int32)
@@ -72,7 +68,21 @@ def make_eval_step(params, precision=None):
         )
         return loss_sum, cm_base, cm_rle
 
-    jfn = jax.jit(fn)
+    return jax.jit(fn)
+
+
+def make_eval_step(params, precision=None):
+    """Jitted eval over one batch: returns (loss_sum, base confusion 5x5,
+    rle confusion 11x11)."""
+    import jax
+
+    if precision is None:
+        # metric fidelity: TPU DEFAULT fp32 dots round operands to bf16,
+        # which shifts per-window argmaxes and hence confusion matrices;
+        # HIGH keeps eval numbers comparable with the fp32 reference
+        # (docs/performance.md, "The fp32 parity trap on TPU")
+        precision = jax.lax.Precision.HIGH
+    jfn = _jitted_eval(precision)
 
     def step(images_u8, label_base, label_rle):
         loss_sum, cm_base, cm_rle = jfn(params, images_u8, label_base, label_rle)

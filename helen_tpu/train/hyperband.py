@@ -43,7 +43,13 @@ def sample_config(rng: np.random.Generator) -> Dict[str, float]:
 class Hyperband:
     """Successive halving across brackets; ``run_trial(config, epochs,
     prev_state)`` must return (loss, state) where state lets a survivor
-    continue training (checkpoint path or params)."""
+    continue training (checkpoint path or params).
+
+    ``epochs`` is the ADDITIONAL training to run on top of ``prev_state``:
+    rung allocations are the deltas to each rung's cumulative budget r_i
+    (a survivor resumed from the 1-epoch rung gets 2 more to reach r=3,
+    then 6 more to reach r=9), so total spend matches the Li et al.
+    schedule instead of inflating ~eta/(eta-1)x."""
 
     def __init__(
         self,
@@ -64,23 +70,29 @@ class Hyperband:
         for s in range(self.s_max, -1, -1):
             n = int(math.ceil(self.B / self.max_epochs / (s + 1) * self.eta ** s))
             r = self.max_epochs * self.eta ** (-s)
-            trials: List[Tuple[Dict[str, float], Optional[object]]] = [
-                (sample_config(self.rng), None) for _ in range(n)
+            # (config, resume state, cumulative epochs trained, last loss)
+            trials: List[Tuple[Dict[str, float], Optional[object], int, float]] = [
+                (sample_config(self.rng), None, 0, float("inf")) for _ in range(n)
             ]
             log.info("bracket s=%d: %d configs, %g initial epochs", s, n, r)
             for i in range(s + 1):
                 n_i = int(n * self.eta ** (-i))
                 r_i = max(1, int(round(r * self.eta ** i)))
                 scored = []
-                for cfg, state in trials[:n_i]:
-                    loss, new_state = self.run_trial(cfg, r_i, state)
-                    scored.append((loss, cfg, new_state))
+                for cfg, state, done, last_loss in trials[:n_i]:
+                    add = r_i - done
+                    if add > 0:
+                        loss, state = self.run_trial(cfg, add, state)
+                    else:  # rounding made this rung's budget <= already trained
+                        loss = last_loss
+                    scored.append((loss, cfg, state, r_i))
                     self.results.append(TrialResult(cfg, loss, r_i))
-                    log.info("  cfg lr=%.2e decay=%.2e epochs=%d -> loss %.6f",
-                             cfg["learning_rate"], cfg["weight_decay"], r_i, loss)
+                    log.info("  cfg lr=%.2e decay=%.2e epochs=%d (+%d) -> loss %.6f",
+                             cfg["learning_rate"], cfg["weight_decay"], r_i,
+                             max(0, add), loss)
                 scored.sort(key=lambda t: t[0])
                 keep = max(1, int(n_i / self.eta))
-                trials = [(cfg, st) for _, cfg, st in scored[:keep]]
+                trials = [(cfg, st, ep, ls) for ls, cfg, st, ep in scored[:keep]]
                 if i == s and scored:
                     break
         best = min(self.results, key=lambda t: t.loss)

@@ -209,31 +209,34 @@ class Trainer:
         self.tx = make_optimizer(cfg.weight_decay)
         self.start_epoch = 0
         self.start_batch = 0
+        self.scheduler = PlateauScheduler(
+            cfg.learning_rate, cfg.plateau_factor, cfg.plateau_patience
+        )
         if retrain_model_path:
-            params, meta = load_model_any(retrain_model_path)
-            self.params = jax.tree_util.tree_map(jnp.asarray, params)
+            if retrain_model_path.endswith(".npz"):
+                # one read serves params, meta, opt state and scheduler state
+                params, meta, opt_state = load_checkpoint(
+                    retrain_model_path,
+                    lambda p: self.tx.init(jax.tree_util.tree_map(jnp.asarray, p)),
+                )
+                self.params = jax.tree_util.tree_map(jnp.asarray, params)
+                self.opt_state = (
+                    opt_state if opt_state is not None else self.tx.init(self.params)
+                )
+                if "scheduler" in meta:
+                    self.scheduler.load_state_dict(meta["scheduler"])
+                    log.info("restored LR scheduler state: lr=%g", self.scheduler.lr)
+            else:
+                params, meta = load_model_any(retrain_model_path)
+                self.params = jax.tree_util.tree_map(jnp.asarray, params)
+                self.opt_state = self.tx.init(self.params)
             self.start_epoch = int(meta.get("epochs", 0))
             self.start_batch = int(meta.get("batch_in_epoch", 0))
-            opt_template = self.tx.init(self.params)
-            if retrain_model_path.endswith(".npz"):
-                _, _, opt_state = load_checkpoint(retrain_model_path, opt_template)
-                self.opt_state = opt_state if opt_state is not None else opt_template
-            else:
-                self.opt_state = opt_template
             log.info("retraining from %s (epoch %d)", retrain_model_path, self.start_epoch)
         else:
             self.params = init_params(jax.random.PRNGKey(cfg.seed), MODEL)
             self.opt_state = self.tx.init(self.params)
         log.info("model parameters: %d", num_params(self.params))
-
-        self.scheduler = PlateauScheduler(
-            cfg.learning_rate, cfg.plateau_factor, cfg.plateau_patience
-        )
-        if retrain_model_path and retrain_model_path.endswith(".npz"):
-            _, meta, _ = load_checkpoint(retrain_model_path)
-            if "scheduler" in meta:
-                self.scheduler.load_state_dict(meta["scheduler"])
-                log.info("restored LR scheduler state: lr=%g", self.scheduler.lr)
         self.step_fn, self.shard_multiple = make_train_step(self.tx, data_parallel, precision)
         self.eff_batch = -(-cfg.batch_size // self.shard_multiple) * self.shard_multiple
         self.dataset = MarginPolishDataset(self.train_files, IMAGE, with_labels=True)

@@ -147,3 +147,24 @@ def test_prediction_store_metadata(tmp_path):
     store.close()
     assert meta["run_info"]["batch"] == 512
     assert meta["hosts"] == [0, 1]
+
+
+def test_padding_positions_wrap_like_reference(tmp_path):
+    """Short images' (-1,-1,-1) padding rows wrap to uint32 max in the store
+    (the reference writes uint32 too, DataStore.py:125-127); the region merge
+    then dedupes the identical wrapped keys to ONE tail entry, exactly like
+    the reference's position-dict insert. Pinned: "fixing" the dtype or the
+    pos<0 mask would change polished output vs the reference."""
+    from helen_tpu.stitch.engine import merge_region_chunks
+
+    path = str(tmp_path / "p.hdf")
+    pos = np.zeros((5, 3), dtype=np.int64)
+    pos[:, 0] = np.arange(5)
+    pos[3:] = -1  # two padding rows
+    with PredictionStore(path) as store:
+        store.write_prediction("c", 0, 10, 0, pos,
+                               np.array([1, 2, 3, 2, 4]), np.array([1, 1, 1, 1, 2]))
+    chunks = list(read_prediction_regions(path, "c", "c-0-10"))
+    assert chunks[0][0][3, 0] == 2**32 - 1  # wrapped on readback, not negative
+    # 3 real columns decode, then the single deduped padding entry ('C')
+    assert merge_region_chunks(chunks) == "ACGC"

@@ -85,9 +85,10 @@ def test_midepoch_resume_matches_uninterrupted(data_dir, tmp_path):
 
 
 def test_host_image_shard():
-    assert host_image_shard(7, 0, 3) == [0, 3, 6]
-    assert host_image_shard(7, 1, 3) == [1, 4]
-    assert host_image_shard(7, 2, 3) == [2, 5]
+    # contiguous equal-count blocks (sequential reads / packed slab reads)
+    assert host_image_shard(7, 0, 3) == [0, 1]
+    assert host_image_shard(7, 1, 3) == [2, 3]
+    assert host_image_shard(7, 2, 3) == [4, 5, 6]
     # complete and disjoint
     all_idx = sorted(sum((host_image_shard(100, i, 4) for i in range(4)), []))
     assert all_idx == list(range(100))

@@ -128,6 +128,10 @@ def test_hyperband_schedule():
     assert best.loss == min(c[0] for c in calls)
     # survivors must have been resumed with their carried state
     assert any(c[2] is not None for c in calls)
+    # rung budgets are DELTAS on top of the resumed checkpoint (1, +2, +6 for
+    # the s=2 bracket) — resumed trials never retrain the full rung total
+    assert all(c[1] <= 6 for c in calls if c[2] is not None)
+    assert max(c[1] for c in calls) == 9  # the s=0 bracket trains 9 in one go
 
 
 def test_bed_mask(tmp_path, capsys):
