@@ -38,8 +38,8 @@ def _add_common_consensus_args(p: argparse.ArgumentParser) -> None:
                    help="build/reuse a packed contiguous image cache for "
                         "slab-read streaming (recommended for large runs)")
     p.add_argument("--host_shard", default="image", choices=["image", "file"],
-                   help="multi-host work partition: round-robin individual "
-                        "images (balanced) or whole files (host-local IO)")
+                   help="multi-host work partition: contiguous image blocks "
+                        "(balanced) or round-robin whole files (host-local IO)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -52,6 +52,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="force the compute platform (cpu = the reference's CPU-inference "
              "mode; auto = use the TPU when present)",
     )
+    parser.add_argument(
+        "--distributed", action="store_true",
+        help="join a multi-host job via jax.distributed.initialize() "
+             "auto-discovery (TPU pods); single-host runs don't need it",
+    )
+    parser.add_argument(
+        "--coordinator_address", default=None,
+        help="multi-host coordinator host:port (with --num_processes and "
+             "--process_id; alternative to --distributed auto-discovery)",
+    )
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     sub = parser.add_subparsers(dest="command")
 
     p = sub.add_parser("polish", help="images -> consensus -> stitch -> polished FASTA")
@@ -149,6 +161,19 @@ def main(argv=None) -> int:
         from helen_tpu.utils import enable_persistent_compilation_cache
 
         enable_persistent_compilation_cache()
+        if args.distributed or args.coordinator_address:
+            from helen_tpu.parallel import multihost
+
+            multihost.initialize(
+                coordinator_address=args.coordinator_address,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+                auto=args.distributed,
+            )
+
+    if getattr(args, "fast", False) and getattr(args, "backend", None):
+        parser.error("--fast and --backend are mutually exclusive "
+                     "(--fast means --backend pallas_fast)")
 
     if args.command == "version":
         from helen_tpu.version import __version__
@@ -176,6 +201,7 @@ def main(argv=None) -> int:
             backend="pallas_fast" if args.fast else args.backend,
             pack=args.pack,
             host_shard=args.host_shard,
+            data_parallel=not args.no_data_parallel,
         )
         print(fasta)
         return 0

@@ -65,8 +65,12 @@ def dump_mismatches(
             pb, pr = np.asarray(pb), np.asarray(pr)
             for j in range(batch.valid):
                 rec = batch.records[j]
+                # mask zero-padded columns of short images (position rows are
+                # (-1,-1,-1)): the model's guess on an all-zero pileup column
+                # vs the 0-padded label is not a real mismatch
+                real = rec.position[:, 0] >= 0
                 mism = np.nonzero(
-                    (pb[j] != rec.label_base) | (pr[j] != rec.label_rle)
+                    ((pb[j] != rec.label_base) | (pr[j] != rec.label_rle)) & real
                 )[0]
                 for pos in mism:
                     if written >= max_records:

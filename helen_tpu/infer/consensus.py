@@ -48,10 +48,18 @@ class ConsensusStep:
 
         devices = jax.local_devices()
         self.shard_multiple = len(devices) if data_parallel else 1
+        on_tpu = devices[0].platform in ("tpu", "axon")
         if backend is None:
             # the fused Pallas window kernel (fp32 parity path) on TPU;
             # plain lax.scan elsewhere
-            backend = "pallas" if devices[0].platform in ("tpu", "axon") else "xla"
+            backend = "pallas" if on_tpu else "xla"
+        elif backend in ("pallas", "pallas_fast") and not on_tpu:
+            # Mosaic kernels only lower for TPU; honor the speed/parity
+            # intent as far as the platform allows instead of failing at
+            # compile time (e.g. --fast under --platform cpu)
+            log.warning("backend %r needs a TPU; falling back to 'xla' on %s",
+                        backend, devices[0].platform)
+            backend = "xla"
         self.backend = backend
 
         def fn(p, images_u8):
@@ -141,12 +149,12 @@ def call_consensus(
     for slab-read streaming — ~10-30x faster host IO on large runs.
 
     ``host_shard`` picks the multi-host work partition: ``"image"`` (default)
-    round-robins individual images across hosts — balanced even when files
-    have wildly different image counts (SURVEY.md §8.3); ``"file"`` round-
-    robins whole files (the reference's caller-sharding,
-    CallConsensusInterface.py:134-145) — each host then only opens its own
-    files, which can matter on slow shared filesystems.
-    Returns the list of prediction files written.
+    assigns each host a contiguous equal-count block of the image index —
+    balanced even when files have wildly different image counts (SURVEY.md
+    §8.3), with sequential reads; ``"file"`` round-robins whole files (the
+    reference's caller-sharding, CallConsensusInterface.py:134-145) — each
+    host then only opens its own files, which can matter on slow shared
+    filesystems. Returns the list of prediction files written.
     """
     if host_shard not in ("image", "file"):
         raise ValueError(f"host_shard must be 'image' or 'file', got {host_shard!r}")
@@ -226,18 +234,23 @@ def call_consensus(
         total_batches = (len(indices) + eff_batch - 1) // eff_batch
 
         def drain(pending) -> None:
-            nonlocal written
+            nonlocal written, skipped
             b, handle = pending
             with timer.stage("tpu_read"):
                 base_labels, rle_labels = step.read(handle)
             windows.add(b.valid * n_windows)
             with timer.stage("write"):
                 for j, rec in enumerate(b.records):
-                    store.write_prediction(
+                    wrote = store.write_prediction(
                         rec.contig, rec.contig_start, rec.contig_end, rec.chunk_id,
                         rec.position, base_labels[j], rle_labels[j],
                     )
-                    written += 1
+                    # first-write-wins: records already in the store (resume)
+                    # count as skipped, not written
+                    if wrote:
+                        written += 1
+                    else:
+                        skipped += 1
 
         if packed_ds is not None:
             from helen_tpu.io.packed import packed_batch_iterator, prefetch_iterator
@@ -262,7 +275,8 @@ def call_consensus(
                 if not todo:
                     skipped += len(batch.records)
                     continue
-                skipped += len(batch.records) - len(todo)
+                # partially-present batches still run whole (static shapes);
+                # drain() counts their already-stored records as skipped
             with timer.stage("tpu_submit"):
                 handle = step.submit(batch.images)
             if in_flight is not None:

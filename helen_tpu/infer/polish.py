@@ -66,6 +66,7 @@ def polish(
     backend: Optional[str] = None,
     pack: bool = False,
     host_shard: str = "image",
+    data_parallel: bool = True,
 ) -> str:
     """Full polish: images -> consensus -> stitch -> polished FASTA path.
 
@@ -117,6 +118,7 @@ def polish(
             backend=backend,
             pack=pack,
             host_shard=host_shard,
+            data_parallel=data_parallel,
         )
     fasta = os.path.join(output_dir, output_prefix + ".fa")
     if multi:

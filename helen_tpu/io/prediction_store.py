@@ -90,7 +90,7 @@ class PredictionStore:
         position: np.ndarray,
         bases: np.ndarray,
         rles: np.ndarray,
-    ) -> None:
+    ) -> bool:
         """Write one image's predictions; duplicate (region, chunk) pairs are
         first-write-wins, matching the reference dedupe (DataStore.py:104-124).
 
@@ -109,12 +109,13 @@ class PredictionStore:
             self.file[f"{base_path}/contig_end"] = int(contig_end)
         key = (region, str(chunk_id))
         if key in self._chunks:
-            return
+            return False
         self._chunks.add(key)
         grp = f"{base_path}/{chunk_id}"
         self.file[f"{grp}/position"] = np.asarray(position, dtype=np.uint32)
         self.file[f"{grp}/bases"] = np.asarray(bases, dtype=np.uint8)
         self.file[f"{grp}/rles"] = np.asarray(rles, dtype=np.uint8)
+        return True
 
     def flush(self) -> None:
         self.file.flush()

@@ -3,6 +3,7 @@ from helen_tpu.parallel.sharding import (
     make_sharded_consensus_fn,
     make_sharded_train_step,
     param_partition_specs,
+    shard_params,
 )
 
 __all__ = [
@@ -11,4 +12,5 @@ __all__ = [
     "make_sharded_consensus_fn",
     "make_sharded_train_step",
     "param_partition_specs",
+    "shard_params",
 ]

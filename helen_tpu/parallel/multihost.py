@@ -8,13 +8,13 @@ Replaces the reference's localhost-only gloo rendezvous
     ``jax.devices()`` spans all hosts and the mesh helpers in
     helen_tpu.parallel.mesh build global meshes whose collectives ride ICI
     within a slice and DCN across slices;
-  * inference shards work per host — **images** round-robin by default
-    (balanced regardless of per-file image-count skew), or whole **files**
-    (the reference's caller-sharding, CallConsensusInterface.py:134-145,
-    host-granular): each host runs the local consensus driver over its shard
-    and writes ``<prefix>_<host>.hdf`` — zero cross-host communication,
-    embarrassingly parallel, and stitch merges all shards (including regions
-    whose chunks span shards);
+  * inference shards work per host — contiguous equal-count **image**
+    blocks by default (balanced regardless of per-file image-count skew),
+    or round-robin whole **files** (the reference's caller-sharding,
+    CallConsensusInterface.py:134-145, host-granular): each host runs the
+    local consensus driver over its shard and writes ``<prefix>_<host>.hdf``
+    — zero cross-host communication, embarrassingly parallel, and stitch
+    merges all shards (including regions whose chunks span shards);
   * training uses a global-mesh sharded step (parallel.sharding) — gradient
     psum is inserted by XLA; eval confusion matrices are summed across hosts
     with ``multihost_utils.process_allgather``.
@@ -35,21 +35,27 @@ def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    auto: bool = False,
 ) -> None:
     """Join a multi-host JAX job. No-op for single-process runs (the
-    default when no coordinator is configured)."""
+    default when no coordinator is configured and ``auto`` is False).
+    ``auto=True`` calls ``jax.distributed.initialize()`` with no arguments —
+    on TPU pods the coordinator and process indices are discovered from the
+    platform environment."""
     import jax
 
-    if num_processes in (None, 1) and not coordinator_address and not os.environ.get(
-        "JAX_COORDINATOR_ADDRESS"
-    ):
+    if (not auto and num_processes in (None, 1) and not coordinator_address
+            and not os.environ.get("JAX_COORDINATOR_ADDRESS")):
         log.info("single-process run (no coordinator configured)")
         return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    if auto and not coordinator_address:
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
     log.info(
         "joined distributed job: process %d/%d, %d local / %d global devices",
         jax.process_index(), jax.process_count(),

@@ -54,13 +54,3 @@ def chunk_list(items: Sequence[T], chunk_size: int) -> Iterator[List[T]]:
         yield list(items[i : i + chunk_size])
 
 
-def round_robin_shards(items: Sequence[T], num_shards: int) -> List[List[T]]:
-    """Shard items round-robin across num_shards workers.
-
-    Mirrors the reference's file sharding across callers
-    (CallConsensusInterface.py:134-145).
-    """
-    shards: List[List[T]] = [[] for _ in range(max(1, num_shards))]
-    for i, item in enumerate(items):
-        shards[i % len(shards)].append(item)
-    return shards
