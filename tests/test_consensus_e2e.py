@@ -116,3 +116,19 @@ def test_consensus_rejects_empty_dir(tmp_path):
     empty.mkdir()
     with pytest.raises(FileNotFoundError):
         call_consensus(image_dir=str(empty), model_path="x", output_dir=str(tmp_path))
+
+
+def test_pallas_backend_falls_back_to_xla_off_tpu():
+    """Explicitly requesting a Mosaic backend on a non-TPU platform must
+    fall back to the xla path with a warning, not crash in kernel lowering
+    (e.g. --fast under --platform cpu)."""
+    import jax
+
+    from helen_tpu.infer.consensus import ConsensusStep
+    from helen_tpu.models.transducer import init_params
+
+    params = init_params(jax.random.PRNGKey(0))
+    step = ConsensusStep(params, data_parallel=False, backend="pallas_fast")
+    assert step.backend == "xla"
+    base, rle = step(np.zeros((2, 1000, 90), dtype=np.uint8))
+    assert base.shape == (2, 1000)

@@ -123,3 +123,14 @@ def test_host_image_shard_contiguous_complete():
         assert max(sizes) - min(sizes) <= 1, (n, pc, sizes)
         for s in shards:
             assert s == list(range(s[0], s[-1] + 1)) if s else True
+
+
+def test_scaling_bench_harness():
+    """The scaling harness runs on the virtual device mesh and reports
+    monotone device counts with efficiency relative to one device."""
+    from helen_tpu.tools.scaling_bench import measure
+
+    rows = measure(device_counts=[1, 2], per_device_batch=2, steps=2)
+    assert [r["devices"] for r in rows] == [1, 2]
+    assert rows[0]["efficiency"] == 1.0
+    assert all(r["windows_per_s"] > 0 for r in rows)
