@@ -41,9 +41,11 @@ def perform_stitch(
     stitcher = Stitcher(threads=threads)
 
     def records():
-        for i, contig in enumerate(contigs):
-            log.info("%04d/%04d: processing contig %s", i + 1, len(contigs), contig)
-            seq = stitcher.stitch(prediction_files, contig)
+        # one pool spans all contigs (stitch_iter): later contigs' region
+        # work overlaps the in-order joins and streaming FASTA writes
+        for i, (contig, seq) in enumerate(
+            stitcher.stitch_iter(prediction_files, contigs)
+        ):
             log.info("%04d/%04d: finished %s, polished length %d",
                      i + 1, len(contigs), contig, len(seq))
             yield contig, seq

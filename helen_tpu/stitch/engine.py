@@ -272,55 +272,82 @@ class Stitcher:
         self.cfg = cfg
         self.threads = max(1, threads)
 
-    def stitch(self, prediction_files: List[str], contig: str) -> str:
-        keys = list_region_keys(prediction_files, contig)
-        if not keys:
-            return ""
-        group_size = max(
-            self.cfg.min_sequence_for_multithreading,
-            len(keys) // self.threads + 1,
-        )
-        groups = list(chunk_list(keys, group_size))
-        results: List[Tuple[str, int, int, str]] = []
-        failed_groups: List[Sequence] = []
-        if len(groups) == 1 or self.threads == 1:
-            results = [_stitch_key_group(contig, g, self.cfg) for g in groups]
-        else:
-            # spawn (not fork): the parent may hold JAX/TPU runtime threads,
-            # and forking a multithreaded process can deadlock
-            try:
-                with concurrent.futures.ProcessPoolExecutor(
-                    max_workers=self.threads,
-                    mp_context=multiprocessing.get_context("spawn"),
-                ) as ex:
-                    futures = {
-                        ex.submit(_stitch_key_group, contig, g, self.cfg): g
-                        for g in groups
-                    }
-                    for fut in concurrent.futures.as_completed(futures):
-                        exc = fut.exception()
-                        if exc is None:
-                            results.append(fut.result())
-                        else:
-                            log.warning("stitch worker failed (%s); will retry "
-                                        "in-process", exc)
-                            failed_groups.append(futures[fut])
-            except concurrent.futures.process.BrokenProcessPool as exc:
-                # e.g. spawn cannot re-import a stdin/-c __main__; redo
-                # everything in-process rather than emit partial output
-                log.warning("stitch process pool broke (%s); running "
-                            "in-process", exc)
-                results = []
-                failed_groups = groups
-            # a failed worker must never silently shrink the output — retry
-            # its group in this process and let real errors propagate
-            for g in failed_groups:
-                results.append(_stitch_key_group(contig, g, self.cfg))
-        results.sort(key=lambda r: (r[1], r[2]))
+    def _join(self, results: List[Tuple[str, int, int, str]]) -> str:
+        results = sorted(results, key=lambda r: (r[1], r[2]))
         if not results:
             return ""
-        _, _, _, sequence = alignment_stitch(results, self.cfg)
-        return sequence
+        return alignment_stitch(results, self.cfg)[3]
+
+    def _plan(self, prediction_files: List[str], contigs: Sequence[str]):
+        plan = []
+        for contig in contigs:
+            keys = list_region_keys(prediction_files, contig)
+            group_size = max(
+                self.cfg.min_sequence_for_multithreading,
+                len(keys) // self.threads + 1,
+            )
+            plan.append((contig, list(chunk_list(keys, group_size))))
+        return plan
+
+    def stitch_iter(self, prediction_files: List[str], contigs: Sequence[str]):
+        """Yield (contig, sequence) in the given contig order, with ONE
+        process pool shared across every contig's key groups — work on later
+        contigs overlaps the in-order joins, so fragmented assemblies
+        (hundreds of small contigs) keep all workers busy instead of
+        draining the pool at each contig boundary (the reference rebuilds
+        its pool per contig, Stitch.py:277-299)."""
+        plan = self._plan(prediction_files, contigs)
+        total_groups = sum(len(g) for _, g in plan)
+        if self.threads == 1 or total_groups <= 1:
+            for contig, groups in plan:
+                yield contig, self._join(
+                    [_stitch_key_group(contig, g, self.cfg) for g in groups]
+                )
+            return
+        # spawn (not fork): the parent may hold JAX/TPU runtime threads,
+        # and forking a multithreaded process can deadlock
+        try:
+            ex = concurrent.futures.ProcessPoolExecutor(
+                max_workers=self.threads,
+                mp_context=multiprocessing.get_context("spawn"),
+            )
+        except (OSError, concurrent.futures.process.BrokenProcessPool) as exc:
+            log.warning("stitch process pool unavailable (%s); running "
+                        "in-process", exc)
+            for contig, groups in plan:
+                yield contig, self._join(
+                    [_stitch_key_group(contig, g, self.cfg) for g in groups]
+                )
+            return
+        with ex:
+            futures = {
+                contig: [ex.submit(_stitch_key_group, contig, g, self.cfg)
+                         for g in groups]
+                for contig, groups in plan
+            }
+            for contig, groups in plan:
+                results: List[Tuple[str, int, int, str]] = []
+                failed_groups: List[Sequence] = []
+                for fut, g in zip(futures[contig], groups):
+                    # fut.exception() blocks until done and RETURNS the error
+                    # (a broken pool surfaces here as BrokenProcessPool too)
+                    exc = fut.exception()
+                    if exc is None:
+                        results.append(fut.result())
+                    else:
+                        log.warning("stitch worker failed (%s); will retry "
+                                    "in-process", exc)
+                        failed_groups.append(g)
+                # a failed worker must never silently shrink the output —
+                # retry its group here and let real errors propagate
+                for g in failed_groups:
+                    results.append(_stitch_key_group(contig, g, self.cfg))
+                yield contig, self._join(results)
+
+    def stitch(self, prediction_files: List[str], contig: str) -> str:
+        for _, sequence in self.stitch_iter(prediction_files, [contig]):
+            return sequence
+        return ""
 
 
 def stitch_contig(

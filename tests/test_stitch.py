@@ -400,3 +400,23 @@ def test_alignment_stitch_empty_region():
     # entirely; next chunk overlaps the original running end
     assert seq.startswith(truth[:500])
     assert truth[700:] in seq or seq.endswith(truth[700:])
+
+
+def test_stitch_iter_many_contigs_shared_pool(tmp_path):
+    """stitch_iter (one pool across all contigs) must produce the same
+    sequences, in input order, as per-contig stitching — including when
+    small contigs have a single key group each (where the old per-contig
+    path never parallelized at all)."""
+    from helen_tpu.stitch.engine import Stitcher
+
+    truths = {f"ctg{i}": random_sequence(4000 + 700 * i, seed=50 + i)
+              for i in range(5)}
+    path = str(tmp_path / "many.hdf")
+    write_prediction_file(path, truths, region_cols=900, overlap_cols=60)
+    stitcher = Stitcher(threads=2)
+    contigs = sorted(truths)
+    got = list(stitcher.stitch_iter([path], contigs))
+    assert [c for c, _ in got] == contigs
+    for contig, seq in got:
+        assert seq == truths[contig], contig
+        assert stitcher.stitch([path], contig) == seq
