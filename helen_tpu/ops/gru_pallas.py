@@ -33,7 +33,16 @@ reverse-indexed BlockSpecs crashes the Mosaic pipeline emitter
 (math_util.cc FromMixedRadix check), and the stacked variant with (2,1,3H)
 bias blocks crashes ApplyVectorLayout (array.h Slice check); (b) host-side
 time-flips to avoid reverse streams cost ~0.5 ms/window of HBM traffic,
-cancelling the gain. Revisit when Mosaic handles mixed-direction streams.
+cancelling the gain; (c) whole-image hoisting of the encoder input
+projection (project once, slice windows) is bit-identical but measured
+426K -> 332K w/s: the 2x1.5 GB full-image projections add HBM residency
+and every slice becomes an HBM copy into the stream; (d) computing the
+gates in bf16 (fast mode) trips a Mosaic verifier bug ('vector.broadcast'
+f32 -> bf16 in the logistic lowering) — and an ablation shows the kernel is
+VPU-transcendental-bound anyway (~1.5 us/grid-step vs ~0.13 us of MXU dot
+at Bt=256; 38 chained launches = 70% of the whole fast program), so exact
+sigmoid/tanh put fast mode near its per-chip floor. Revisit (a)/(d) on a
+newer Mosaic.
 """
 from __future__ import annotations
 
