@@ -145,7 +145,12 @@ def consensus_probs(
     # fp32) add HBM residency and every window slice becomes an HBM copy
     # feeding the Pallas stream, which costs more than the saved MXU work.
     # Recomputing the projection per window fuses it into the kernel's input
-    # stream and stays resident in VMEM.
+    # stream and stays resident in VMEM. Two related layouts also measured
+    # SLOWER and were reverted: transposing the image to time-major once and
+    # slicing time-major windows (337K -> 309K parity / 613K -> 546K fast),
+    # and applying the heads before the decoder-output transpose (306K/570K)
+    # — XLA fuses the per-window slice+transpose chains as written here
+    # better than any hand-hoisted variant tried.
     def body(carry, start):
         hidden, base_acc, rle_acc = carry
         x = lax.dynamic_slice(images, (0, start, 0), (B, W, F))
