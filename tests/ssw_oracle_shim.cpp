@@ -18,6 +18,9 @@ struct OracleResult {
   int32_t query_begin;
   int32_t query_end;
   int32_t cigar_len;  // chars written
+  int32_t score2;
+  int32_t ref_end2;
+  int32_t mismatches;
 };
 
 int oracle_align(const char* ref, int32_t ref_len, const char* query,
@@ -35,6 +38,9 @@ int oracle_align(const char* ref, int32_t ref_len, const char* query,
   out->ref_end = alignment.ref_end;
   out->query_begin = alignment.query_begin;
   out->query_end = alignment.query_end;
+  out->score2 = alignment.sw_score_next_best;
+  out->ref_end2 = alignment.ref_end_next_best;
+  out->mismatches = alignment.mismatches;
   int32_t n = static_cast<int32_t>(alignment.cigar_string.size());
   if (n >= cigar_cap) return 2;
   std::memcpy(cigar_buf, alignment.cigar_string.c_str(), n + 1);

@@ -26,7 +26,8 @@ pytestmark = pytest.mark.skipif(
 
 class OracleResult(ctypes.Structure):
     _fields_ = [(n, ctypes.c_int32) for n in (
-        "score", "ref_begin", "ref_end", "query_begin", "query_end", "cigar_len")]
+        "score", "ref_begin", "ref_end", "query_begin", "query_end",
+        "cigar_len", "score2", "ref_end2", "mismatches")]
 
 
 @pytest.fixture(scope="module")
@@ -55,14 +56,14 @@ def oracle(tmp_path_factory):
         ctypes.c_int32,
     ]
 
-    def align(ref, query):
+    def align(ref, query, mask_len=0):
         out = OracleResult()
         buf = ctypes.create_string_buffer(8192)
         rc = lib.oracle_align(
             ref.encode(), len(ref), query.encode(), len(query),
             STITCH.match_score, STITCH.mismatch_penalty,
             STITCH.gap_open_penalty, STITCH.gap_extend_penalty,
-            0, ctypes.byref(out), buf, 8192,
+            mask_len, ctypes.byref(out), buf, 8192,
         )
         assert rc == 0, rc
         return out, buf.value.decode()
@@ -70,12 +71,12 @@ def oracle(tmp_path_factory):
     return align
 
 
-def _ours(ref, query):
+def _ours(ref, query, mask_len=0):
     a = Aligner(STITCH.match_score, STITCH.mismatch_penalty,
                 STITCH.gap_open_penalty, STITCH.gap_extend_penalty)
     a.SetReferenceSequence(ref, len(ref))
     al = Alignment()
-    assert a.Align_cpp(query, Filter(), al, 0)
+    assert a.Align_cpp(query, Filter(), al, mask_len)
     return al
 
 
@@ -124,6 +125,32 @@ def test_aligner_matches_reference_binary(oracle):
             mismatches.append((ref, query, (want.score, want.ref_begin, want_cigar),
                                (got.best_score, got.reference_begin, got.cigar_string)))
     assert not mismatches, f"{len(mismatches)} mismatches; first: {mismatches[0]}"
+
+
+def test_mismatch_and_second_best_match_reference_binary(oracle):
+    """Field-level parity beyond the stitch path: mismatches (X + indel
+    lengths) and, with maskLen >= 15, the second-best score/position —
+    including the word-kernel edge-column semantics the reference switches
+    to when the byte score saturates at 255 (>=64 matched bases)."""
+    rng = np.random.default_rng(11)
+    pairs = []
+    for seed in range(40):  # short: byte kernel (score < 255)
+        ref = random_sequence(int(rng.integers(30, 60)), seed=300 + seed)
+        pairs.append((ref, ref[2:-2]))
+    for seed in range(40):  # long near-identical: word kernel (score >= 255)
+        ref = random_sequence(int(rng.integers(120, 300)), seed=400 + seed)
+        q = list(ref)
+        for _ in range(int(rng.integers(0, 5))):
+            q[int(rng.integers(0, len(q)))] = "ACGT"[int(rng.integers(0, 4))]
+        pairs.append((ref, "".join(q)))
+    for ref, query in pairs:
+        for mask_len in (0, 15, 40):
+            want, _ = oracle(ref, query, mask_len)
+            got = _ours(ref, query, mask_len)
+            assert got.best_score == want.score, (ref, query, mask_len)
+            assert got.mismatches == want.mismatches, (ref, query, mask_len)
+            assert got.best_score2 == want.score2, (ref, query, mask_len)
+            assert got.ref_end_next_best == want.ref_end2, (ref, query, mask_len)
 
 
 def test_anchor_decisions_match_reference_binary(oracle):
