@@ -14,8 +14,29 @@ import subprocess
 import threading
 from typing import Optional
 
-_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "helen_stitch.cpp")
-_SRC = os.path.abspath(_SRC)
+def _find_src() -> str:
+    """Locate the native source: env override, repo checkout, or the
+    pip-installed data_files location (setup.py installs it under
+    ``<sys.prefix>/helen_tpu_native/``)."""
+    import sys
+
+    candidates = []
+    env = os.environ.get("HELEN_TPU_NATIVE_SRC")
+    if env:
+        candidates.append(env)
+    candidates.append(os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", "..", "native", "helen_stitch.cpp")))
+    candidates.append(os.path.join(sys.prefix, "helen_tpu_native",
+                                   "helen_stitch.cpp"))
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    raise FileNotFoundError(
+        "helen_stitch.cpp not found; looked in: " + ", ".join(candidates)
+    )
+
+
+_SRC = _find_src()
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -36,7 +57,16 @@ class HelenAlignmentStruct(ctypes.Structure):
 
 def _build_dir() -> str:
     d = os.environ.get("HELEN_TPU_NATIVE_DIR") or os.path.join(os.path.dirname(_SRC), "build")
-    os.makedirs(d, exist_ok=True)
+    try:
+        os.makedirs(d, exist_ok=True)
+        probe = os.path.join(d, f".w{os.getpid()}")
+        with open(probe, "w"):
+            pass
+        os.unlink(probe)
+    except OSError:
+        # system installs put the source beside a read-only prefix
+        d = os.path.join(os.path.expanduser("~"), ".cache", "helen_tpu", "native")
+        os.makedirs(d, exist_ok=True)
     return d
 
 
