@@ -284,6 +284,10 @@ def call_consensus(
             in_flight = (batch, handle)
             if bi % 10 == 0:
                 log.info("batch %d/%d  |  %s", bi + 1, total_batches, windows)
+                # flush so a hard kill (preemption) leaves a readable store
+                # for --resume instead of a truncated HDF5 B-tree
+                with timer.stage("flush"):
+                    store.flush()
         if in_flight is not None:
             drain(in_flight)
         windows.stop()

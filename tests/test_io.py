@@ -168,3 +168,29 @@ def test_padding_positions_wrap_like_reference(tmp_path):
     assert chunks[0][0][3, 0] == 2**32 - 1  # wrapped on readback, not negative
     # 3 real columns decode, then the single deduped padding entry ('C')
     assert merge_region_chunks(chunks) == "ACGC"
+
+
+def test_prediction_store_survives_hard_exit(tmp_path):
+    """A flushed store must be readable after a process dies without closing
+    the file (preemption mid-run) so --resume can pick up from it."""
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "killed_0.hdf")
+    script = f"""
+import os, numpy as np
+from helen_tpu.io.prediction_store import PredictionStore
+store = PredictionStore({path!r}, "w")
+pos = np.zeros((3, 3), dtype=np.int64); pos[:, 0] = np.arange(3)
+store.write_prediction("c", 0, 10, 0, pos, np.array([1,2,3]), np.array([1,1,1]))
+store.flush()
+os._exit(0)  # hard exit: no close, like a preempted worker
+"""
+    env = dict(**__import__("os").environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    subprocess.run([sys.executable, "-c", script], check=True, env=env)
+    with PredictionStore(path, "a") as store:
+        assert store.has_chunk("c", 0, 10, 0)
+        pos = np.zeros((3, 3), dtype=np.int64)
+        store.write_prediction("c", 0, 10, 1, pos, np.array([4,4,4]), np.array([1,1,1]))
+    assert len(list(read_prediction_regions(path, "c", "c-0-10"))) == 2
