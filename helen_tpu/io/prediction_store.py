@@ -16,12 +16,46 @@ an interrupted consensus run can skip already-written groups.
 """
 from __future__ import annotations
 
+import os
+import threading
 from typing import Dict, Iterator, List, Optional, Sequence, Set, Tuple
 
 import h5py
 import numpy as np
 
 PRED_ROOT = "predictions"
+
+# Per-thread read-handle cache. Stitch reads each prediction file once per
+# REGION (thousands of times per contig); h5py open costs ~1 ms, which was
+# >50% of single-thread stitch wall time. Handles are keyed on
+# (mtime_ns, size) so a file rewritten by a resumed consensus run is
+# transparently reopened. Thread-local => safe under the stitch process pool
+# (fresh processes) and the in-process fallback alike; h5py handles must not
+# cross threads.
+_read_handles = threading.local()
+
+
+def open_prediction_file(path: str) -> "h5py.File":
+    """Return a cached read-only handle for ``path`` (per-thread)."""
+    cache: Dict[str, Tuple[Tuple[int, int], h5py.File]] = getattr(
+        _read_handles, "files", None
+    )
+    if cache is None:
+        cache = _read_handles.files = {}
+    st = os.stat(path)
+    stamp = (st.st_mtime_ns, st.st_size)
+    entry = cache.get(path)
+    if entry is not None:
+        old_stamp, f = entry
+        if old_stamp == stamp and f.id.valid:
+            return f
+        try:
+            f.close()
+        except Exception:
+            pass
+    f = h5py.File(path, "r")
+    cache[path] = (stamp, f)
+    return f
 
 
 class PredictionStore:
@@ -143,17 +177,17 @@ def list_region_keys(
     partial per-file sequences)."""
     regions: Dict[str, Tuple[List[str], int, int]] = {}
     for path in sorted(prediction_files):
-        with h5py.File(path, "r") as f:
-            if PRED_ROOT not in f or contig not in f[PRED_ROOT]:
-                continue
-            for region_key in sorted(f[PRED_ROOT][contig].keys()):
-                grp = f[PRED_ROOT][contig][region_key]
-                start = int(grp["contig_start"][()])
-                end = int(grp["contig_end"][()])
-                if region_key in regions:
-                    regions[region_key][0].append(path)
-                else:
-                    regions[region_key] = ([path], start, end)
+        f = open_prediction_file(path)  # cached per-thread (see module top)
+        if PRED_ROOT not in f or contig not in f[PRED_ROOT]:
+            continue
+        for region_key in sorted(f[PRED_ROOT][contig].keys()):
+            grp = f[PRED_ROOT][contig][region_key]
+            start = int(grp["contig_start"][()])
+            end = int(grp["contig_end"][()])
+            if region_key in regions:
+                regions[region_key][0].append(path)
+            else:
+                regions[region_key] = ([path], start, end)
     out = [
         (tuple(paths), region_key, start, end)
         for region_key, (paths, start, end) in regions.items()
@@ -174,30 +208,24 @@ def read_region_chunks(
     overlapping resumed run) is taken from the first file in sorted-path
     order, matching the store's first-write-wins dedupe."""
     per_file: List[Dict[str, "h5py.Group"]] = []
-    handles = []
-    try:
-        for path in sorted(paths):
-            f = h5py.File(path, "r")
-            handles.append(f)
-            grp = f[PRED_ROOT][contig][region_key]
-            per_file.append({
-                k: grp[k] for k in grp.keys()
-                if k not in ("contig_start", "contig_end")
-            })
-        names = sorted({name for chunks in per_file for name in chunks})
-        for name in names:
-            for chunks in per_file:
-                if name in chunks:
-                    g = chunks[name]
-                    yield (
-                        np.asarray(g["position"][()], dtype=np.int64),
-                        np.asarray(g["bases"][()], dtype=np.int64),
-                        np.asarray(g["rles"][()], dtype=np.int64),
-                    )
-                    break
-    finally:
-        for f in handles:
-            f.close()
+    for path in sorted(paths):
+        f = open_prediction_file(path)  # cached per-thread (see module top)
+        grp = f[PRED_ROOT][contig][region_key]
+        per_file.append({
+            k: grp[k] for k in grp.keys()
+            if k not in ("contig_start", "contig_end")
+        })
+    names = sorted({name for chunks in per_file for name in chunks})
+    for name in names:
+        for chunks in per_file:
+            if name in chunks:
+                g = chunks[name]
+                yield (
+                    np.asarray(g["position"][()], dtype=np.int64),
+                    np.asarray(g["bases"][()], dtype=np.int64),
+                    np.asarray(g["rles"][()], dtype=np.int64),
+                )
+                break
 
 
 def read_prediction_regions(

@@ -140,5 +140,9 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
                 ctypes.c_char_p, ctypes.c_int32,
             ]
+            # test hook: 1 forces the scalar scan kernel, 0 the SIMD-eligible
+            # path, -1 resets to the HELEN_SSW_SCALAR env default
+            lib.helen_ssw_set_scalar.restype = None
+            lib.helen_ssw_set_scalar.argtypes = [ctypes.c_int]
             _lib = lib
     return _lib

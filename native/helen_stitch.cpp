@@ -27,12 +27,25 @@
 // insertion immediately followed by deletion" semantics the lazy-F comment
 // describes. This can only matter for exotic equal-score paths.
 //
+// Two scan kernels share those semantics bit-for-bit: a scalar reference
+// kernel and a striped SSE2 16-bit kernel (Farrar vectorization, like the
+// reference's own ssw.c). The SIMD kernel is used when gap_open >
+// gap_extend (the lazy-F early break is only exact in that regime) and the
+// score fits 16-bit headroom; HELEN_SSW_SCALAR=1 or helen_ssw_set_scalar(1)
+// forces the scalar path (used by the equivalence fuzz in tests).
+//
 // Exposed as a plain C ABI for ctypes (no pybind11 in this toolchain).
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
+
+#if defined(__SSE2__) || defined(_M_X64)
+#define HELEN_SSW_SSE2 1
+#include <emmintrin.h>
+#endif
 
 namespace {
 
@@ -67,15 +80,14 @@ struct End {
   int32_t read = 0;
 };
 
-// Scalar equivalent of the striped forward/reverse scan. terminate==0 means
-// "never terminate early".
-void scan_ends(const int8_t* ref, int ref_dir, int32_t ref_len,
-               const int8_t* read, int32_t read_len, const int32_t* mat,
-               int32_t gap_open, int32_t gap_extend, int32_t terminate,
-               int32_t mask_len, End* best, End* second) {
+// Scalar column scan: fills max_column[] and best (score, end column, end
+// read index). terminate==0 means "never terminate early".
+void scan_core_scalar(const int8_t* ref, int ref_dir, int32_t ref_len,
+                      const int8_t* read, int32_t read_len, const int32_t* mat,
+                      int32_t gap_open, int32_t gap_extend, int32_t terminate,
+                      int32_t* max_column, End* best) {
   std::vector<int32_t> E(read_len, 0), Hprev(read_len, 0), Hcur(read_len, 0),
       Hmax(read_len, 0);
-  std::vector<int32_t> max_column(ref_len, 0);
   int32_t max = 0, end_ref = 0;
   int32_t begin = 0, end = ref_len, step = 1;
   if (ref_dir == 1) {
@@ -116,6 +128,162 @@ void scan_ends(const int8_t* ref, int ref_dir, int32_t ref_len,
       break;
     }
   }
+}
+
+#ifdef HELEN_SSW_SSE2
+// Striped (Farrar) SSE2 16-bit column scan — the same vectorization the
+// reference's ssw.c word kernel uses (8 lanes, lazy-F correction), but
+// reproducing THIS implementation's scalar semantics exactly (E fed from the
+// pre-F H, see file header). Padding lanes (read index >= read_len) carry a
+// -30000 profile so their H can never exceed a real cell's column max:
+// max_column[], best end and end-read index are bit-identical to
+// scan_core_scalar (fuzz-verified in tests/test_ssw_oracle.py).
+int32_t hmax_epi16(__m128i v) {
+  v = _mm_max_epi16(v, _mm_srli_si128(v, 8));
+  v = _mm_max_epi16(v, _mm_srli_si128(v, 4));
+  v = _mm_max_epi16(v, _mm_srli_si128(v, 2));
+  return static_cast<int16_t>(_mm_extract_epi16(v, 0));
+}
+
+void scan_core_striped(const int8_t* ref, int ref_dir, int32_t ref_len,
+                       const int8_t* read, int32_t read_len, const int32_t* mat,
+                       int32_t gap_open, int32_t gap_extend, int32_t terminate,
+                       int32_t* max_column, End* best) {
+  const int32_t seg = (read_len + 7) / 8;
+  // striped query profile: element (lane l, stripe k) covers read j = l*seg+k
+  std::vector<__m128i> prof(kAlpha * seg);
+  {
+    int16_t* t = reinterpret_cast<int16_t*>(prof.data());
+    for (int32_t r = 0; r < kAlpha; ++r)
+      for (int32_t k = 0; k < seg; ++k)
+        for (int32_t l = 0; l < 8; ++l) {
+          int32_t j = l * seg + k;
+          *t++ = (j < read_len)
+                     ? static_cast<int16_t>(mat[r * kAlpha + read[j]])
+                     : static_cast<int16_t>(-30000);
+        }
+  }
+  std::vector<__m128i> pvHStore(seg, _mm_setzero_si128());
+  std::vector<__m128i> pvHLoad(seg, _mm_setzero_si128());
+  std::vector<__m128i> pvE(seg, _mm_setzero_si128());
+  std::vector<__m128i> pvHmax(seg, _mm_setzero_si128());
+  const __m128i vGapO = _mm_set1_epi16(static_cast<int16_t>(gap_open));
+  const __m128i vGapE = _mm_set1_epi16(static_cast<int16_t>(gap_extend));
+  const __m128i vZero = _mm_setzero_si128();
+
+  int32_t max = 0, end_ref = 0;
+  int32_t begin = 0, end = ref_len, step = 1;
+  if (ref_dir == 1) {
+    begin = ref_len - 1;
+    end = -1;
+    step = -1;
+  }
+  for (int32_t i = begin; i != end; i += step) {
+    const __m128i* vP = prof.data() + ref[i] * seg;
+    __m128i vF = vZero;
+    __m128i vMaxColumn = vZero;
+    // diagonal for (lane l, k=0) is previous column's (lane l-1, k=seg-1)
+    __m128i vH = _mm_slli_si128(pvHStore[seg - 1], 2);
+    pvHLoad.swap(pvHStore);
+    for (int32_t k = 0; k < seg; ++k) {
+      vH = _mm_adds_epi16(vH, vP[k]);
+      __m128i vE = pvE[k];
+      vH = _mm_max_epi16(vH, vE);
+      vH = _mm_max_epi16(vH, vZero);  // h_no_f: E merged, F not
+      // E update reads the pre-F H (scalar h_no_f semantics)
+      vE = _mm_max_epi16(_mm_subs_epi16(vE, vGapE), _mm_subs_epi16(vH, vGapO));
+      pvE[k] = _mm_max_epi16(vE, vZero);
+      // merge the within-lane F, store H
+      vH = _mm_max_epi16(vH, vF);
+      pvHStore[k] = vH;
+      vMaxColumn = _mm_max_epi16(vMaxColumn, vH);
+      // F update reads the post-F H (scalar f semantics)
+      vF = _mm_max_epi16(_mm_subs_epi16(vF, vGapE), _mm_subs_epi16(vH, vGapO));
+      vF = _mm_max_epi16(vF, vZero);
+      vH = pvHLoad[k];
+    }
+    // lazy-F: propagate F across lane boundaries until it can no longer
+    // raise any H (ssw.c sw_sse2_word structure; E is deliberately not
+    // re-read — it never sees F in the scalar recurrence either)
+    bool done = false;
+    for (int32_t l = 0; l < 8 && !done; ++l) {
+      vF = _mm_slli_si128(vF, 2);
+      for (int32_t k = 0; k < seg; ++k) {
+        __m128i vHs = _mm_max_epi16(pvHStore[k], vF);
+        pvHStore[k] = vHs;
+        vMaxColumn = _mm_max_epi16(vMaxColumn, vHs);
+        vF = _mm_subs_epi16(vF, vGapE);
+        if (!_mm_movemask_epi8(
+                _mm_cmpgt_epi16(vF, _mm_subs_epi16(vHs, vGapO)))) {
+          done = true;
+          break;
+        }
+      }
+    }
+    const int32_t colmax = std::max(0, hmax_epi16(vMaxColumn));
+    max_column[i] = colmax;
+    if (colmax > max) {
+      max = colmax;
+      end_ref = i;
+      pvHmax = pvHStore;
+    }
+    if (terminate > 0 && colmax == terminate) break;
+  }
+  best->score = max;
+  best->ref = end_ref;
+  best->read = read_len - 1;
+  const int16_t* hmax = reinterpret_cast<const int16_t*>(pvHmax.data());
+  for (int32_t j = 0; j < read_len; ++j) {
+    if (hmax[(j % seg) * 8 + j / seg] == max) {
+      best->read = j;
+      break;
+    }
+  }
+}
+#endif  // HELEN_SSW_SSE2
+
+// -1: consult HELEN_SSW_SCALAR env once; 0/1: forced via helen_ssw_set_scalar
+int g_force_scalar = -1;
+
+bool use_scalar_kernel(int32_t ref_len, int32_t read_len, int32_t match,
+                       int32_t gap_open, int32_t gap_extend) {
+#ifndef HELEN_SSW_SSE2
+  return true;
+#else
+  if (g_force_scalar == -1) {
+    const char* env = std::getenv("HELEN_SSW_SCALAR");
+    g_force_scalar = (env && env[0] && env[0] != '0') ? 1 : 0;
+  }
+  if (g_force_scalar) return true;
+  // The lazy-F early break (stop once F <= H - gap_open everywhere) is exact
+  // only when extension strictly dominates reopening from a just-raised H,
+  // i.e. gap_open > gap_extend (fuzz-derived counterexamples exist at
+  // go == ge). Stitch uses 8/2; exotic penalty sets take the scalar kernel.
+  if (gap_open <= gap_extend) return true;
+  // 16-bit headroom: the best local score is bounded by match * min(lens)
+  const int64_t cap =
+      static_cast<int64_t>(std::min(ref_len, read_len)) * std::max(match, 1);
+  return cap > 30000;
+#endif
+}
+
+void scan_ends(const int8_t* ref, int ref_dir, int32_t ref_len,
+               const int8_t* read, int32_t read_len, const int32_t* mat,
+               int32_t gap_open, int32_t gap_extend, int32_t terminate,
+               int32_t mask_len, End* best, End* second) {
+  std::vector<int32_t> max_column(ref_len, 0);
+  const int32_t match = mat[0];  // diagonal entry (build_matrix)
+  if (use_scalar_kernel(ref_len, read_len, match, gap_open, gap_extend)) {
+    scan_core_scalar(ref, ref_dir, ref_len, read, read_len, mat, gap_open,
+                     gap_extend, terminate, max_column.data(), best);
+  } else {
+#ifdef HELEN_SSW_SSE2
+    scan_core_striped(ref, ref_dir, ref_len, read, read_len, mat, gap_open,
+                      gap_extend, terminate, max_column.data(), best);
+#endif
+  }
+  const int32_t max = best->score;
+  const int32_t end_ref = best->ref;
   second->score = 0;
   second->ref = 0;
   second->read = 0;
@@ -271,6 +439,10 @@ std::vector<uint32_t> banded_cigar(const int8_t* ref, const int8_t* read,
 }  // namespace
 
 extern "C" {
+
+// Test hook: force the scalar scan kernel (1), force SIMD-eligible (0), or
+// reset to the HELEN_SSW_SCALAR env default (-1).
+void helen_ssw_set_scalar(int v) { g_force_scalar = v; }
 
 struct HelenAlignment {
   int32_t score;

@@ -420,3 +420,66 @@ def test_stitch_iter_many_contigs_shared_pool(tmp_path):
     for contig, seq in got:
         assert seq == truths[contig], contig
         assert stitcher.stitch([path], contig) == seq
+
+
+def test_simd_scan_matches_scalar_scan():
+    """The striped SSE2 scan kernel must be bit-identical to the scalar
+    reference kernel across penalty sets, sizes, lane-boundary shapes and
+    mask windows — full result struct plus cigar. Penalty sets with
+    gap_open <= gap_extend fall back to scalar inside the library (the
+    lazy-F early break is only exact for go > ge), so those cases pin the
+    fallback; the rest exercise the SIMD path."""
+    import ctypes
+
+    from helen_tpu.stitch._native import HelenAlignmentStruct, get_lib
+
+    lib = get_lib()
+
+    def run(ref, query, scalar, match, mm, go, ge, mask):
+        lib.helen_ssw_set_scalar(1 if scalar else 0)
+        out = HelenAlignmentStruct()
+        buf = (ctypes.c_uint32 * 8192)()
+        rc = lib.helen_ssw_align(
+            ref.encode(), len(ref), query.encode(), len(query),
+            match, mm, go, ge, mask, 1, ctypes.byref(out), buf, 8192,
+        )
+        cigar = tuple(buf[i] for i in range(max(out.cigar_len, 0)))
+        return (rc, out.score, out.score2, out.ref_begin, out.ref_end,
+                out.query_begin, out.query_end, out.ref_end2, cigar)
+
+    rng = np.random.default_rng(99)
+
+    def seq(n):
+        return "".join("ACGTN"[i] for i in rng.integers(0, 5, n))
+
+    try:
+        for trial in range(400):
+            n = int(rng.integers(1, 320))
+            if trial % 3 == 0:  # stitch-realistic: mutated overlap pair
+                ref = seq(n)
+                q = list(ref)
+                for _ in range(int(n * 0.1) + 1):
+                    p = int(rng.integers(0, len(q)))
+                    op = int(rng.integers(0, 3))
+                    if op == 0:
+                        q[p] = "ACGT"[int(rng.integers(0, 4))]
+                    elif op == 1 and len(q) > 2:
+                        q.pop(p)
+                    else:
+                        q.insert(p, "ACGT"[int(rng.integers(0, 4))])
+                query = "".join(q)
+            else:
+                ref, query = seq(n), seq(int(rng.integers(1, 320)))
+            if trial % 2:
+                match, mm, go, ge = 4, 6, 8, 2  # stitch defaults
+            else:
+                match = int(rng.integers(1, 8))
+                mm = int(rng.integers(1, 10))
+                go = int(rng.integers(1, 12))
+                ge = int(rng.integers(1, 8))
+            mask = int(rng.integers(0, 40))
+            a = run(ref, query, True, match, mm, go, ge, mask)
+            b = run(ref, query, False, match, mm, go, ge, mask)
+            assert a == b, (trial, len(ref), len(query), match, mm, go, ge, mask, a, b)
+    finally:
+        lib.helen_ssw_set_scalar(-1)
