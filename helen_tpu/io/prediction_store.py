@@ -53,9 +53,30 @@ def open_prediction_file(path: str) -> "h5py.File":
             f.close()
         except Exception:
             pass
+        groups = getattr(_read_handles, "groups", None)
+        if groups:
+            for key in [k for k in groups if k[0] == path]:
+                del groups[key]
     f = h5py.File(path, "r")
     cache[path] = (stamp, f)
     return f
+
+
+def _contig_group(path: str, contig: str) -> Optional["h5py.Group"]:
+    """Cached ``f[predictions/<contig>]`` group for a cached handle (the
+    group lookup itself costs ~0.1 ms in h5py's high-level layer and stitch
+    does it once per region otherwise). Returns None when absent."""
+    groups = getattr(_read_handles, "groups", None)
+    if groups is None:
+        groups = _read_handles.groups = {}
+    f = open_prediction_file(path)  # evicts stale group entries on reopen
+    key = (path, contig)
+    if key not in groups:
+        if PRED_ROOT in f and contig in f[PRED_ROOT]:
+            groups[key] = f[PRED_ROOT][contig]
+        else:
+            groups[key] = None
+    return groups[key]
 
 
 class PredictionStore:
@@ -177,11 +198,11 @@ def list_region_keys(
     partial per-file sequences)."""
     regions: Dict[str, Tuple[List[str], int, int]] = {}
     for path in sorted(prediction_files):
-        f = open_prediction_file(path)  # cached per-thread (see module top)
-        if PRED_ROOT not in f or contig not in f[PRED_ROOT]:
+        cgrp = _contig_group(path, contig)  # cached per-thread
+        if cgrp is None:
             continue
-        for region_key in sorted(f[PRED_ROOT][contig].keys()):
-            grp = f[PRED_ROOT][contig][region_key]
+        for region_key in sorted(cgrp.keys()):
+            grp = cgrp[region_key]
             start = int(grp["contig_start"][()])
             end = int(grp["contig_end"][()])
             if region_key in regions:
@@ -209,8 +230,8 @@ def read_region_chunks(
     order, matching the store's first-write-wins dedupe."""
     per_file: List[Dict[str, "h5py.Group"]] = []
     for path in sorted(paths):
-        f = open_prediction_file(path)  # cached per-thread (see module top)
-        grp = f[PRED_ROOT][contig][region_key]
+        cgrp = _contig_group(path, contig)  # cached per-thread
+        grp = cgrp[region_key]
         per_file.append({
             k: grp[k] for k in grp.keys()
             if k not in ("contig_start", "contig_end")
