@@ -95,6 +95,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--decay", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "xla", "pallas_train"],
+                   help="recurrence backend: auto picks the fused Pallas "
+                        "train kernels on TPU, lax.scan elsewhere")
 
     p = sub.add_parser("test", help="evaluate a model on labeled images")
     p.add_argument("--test_image_dir", required=True)
@@ -253,6 +257,7 @@ def main(argv=None) -> int:
             learning_rate=args.lr,
             weight_decay=args.decay,
             seed=args.seed,
+            backend=args.backend,
         )
         return 0
 

@@ -34,6 +34,31 @@ PRED_ROOT = "predictions"
 # cross threads.
 _read_handles = threading.local()
 
+# Process-wide registry of every cached read handle, so a writer (e.g. a
+# resumed consensus run reopening its shard file RDWR) can evict them first —
+# HDF5 refuses to open a file read-write while the same process holds it
+# read-only. Guarded by a lock; h5py itself serializes libhdf5 calls.
+_registry_lock = threading.Lock()
+_registry: Dict[str, List["h5py.File"]] = {}
+
+
+def close_read_handles(path: Optional[str] = None) -> None:
+    """Close cached read-only handles for ``path`` (or all), across threads.
+
+    Stale per-thread cache entries are detected via ``f.id.valid`` on next
+    use and transparently reopened. Only call when no reader is mid-request
+    (e.g. after stitch, before a resumed consensus writer reopens its file).
+    """
+    key = os.path.realpath(path) if path is not None else None
+    with _registry_lock:
+        targets = [key] if key is not None else list(_registry)
+        for k in targets:
+            for f in _registry.pop(k, []):
+                try:
+                    f.close()
+                except Exception:
+                    pass
+
 
 def open_prediction_file(path: str) -> "h5py.File":
     """Return a cached read-only handle for ``path`` (per-thread)."""
@@ -59,6 +84,8 @@ def open_prediction_file(path: str) -> "h5py.File":
                 del groups[key]
     f = h5py.File(path, "r")
     cache[path] = (stamp, f)
+    with _registry_lock:
+        _registry.setdefault(os.path.realpath(path), []).append(f)
     return f
 
 
@@ -84,6 +111,10 @@ class PredictionStore:
 
     def __init__(self, filename: str, mode: str = "w"):
         self.filename = filename
+        if os.path.exists(filename):
+            # evict cached read-only handles (a prior stitch in this process)
+            # or HDF5 refuses the read-write open
+            close_read_handles(filename)
         self.file = h5py.File(filename, mode)
         self._regions: Set[str] = set()
         self._chunks: Set[Tuple[str, str]] = set()

@@ -71,9 +71,12 @@ def forward(
     :param x: (B, W, F) float input window
     :param hidden: (B, 2, H) carried hidden ([:, 0] fwd, [:, 1] bwd)
     :param backend: "xla" (lax.scan recurrence), "pallas" (fused TPU window
-        kernel, helen_tpu.ops.gru_pallas — same fp32 arithmetic), or
+        kernel, helen_tpu.ops.gru_pallas — same fp32 arithmetic),
         "pallas_fast" (bf16 matmuls with f32 accumulation — fastest; labels
-        can flip on near-tie votes)
+        can flip on near-tie votes), or "pallas_train" (fused forward AND
+        backward kernels with a custom VJP, helen_tpu.ops.gru_pallas_train —
+        for the TBPTT training step; DEFAULT matmul precision, like the
+        lax.scan training path)
     :returns: (base logits (B, W, 5), rle logits (B, W, 11), new hidden (B, 2, H))
     """
     if backend in ("pallas", "pallas_fast"):
@@ -82,6 +85,10 @@ def forward(
         from helen_tpu.ops.gru_pallas import bigru_apply_fused
 
         _bigru = functools.partial(bigru_apply_fused, fast=backend == "pallas_fast")
+    elif backend == "pallas_train":
+        from helen_tpu.ops.gru_pallas_train import bigru_apply_fused_train
+
+        _bigru = bigru_apply_fused_train
     else:
         _bigru = bigru_apply
     xt = jnp.swapaxes(x, 0, 1)  # time-major (W, B, F)

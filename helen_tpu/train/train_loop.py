@@ -86,7 +86,7 @@ def make_optimizer(weight_decay: float = 0.0):
     return optax.scale_by_adam()
 
 
-def build_tbptt_fn(tx, image_len: int = None, precision=None):
+def build_tbptt_fn(tx, image_len: int = None, precision=None, backend: str = "xla"):
     """The pure per-batch TBPTT function (unjitted).
 
     Signature: (params, opt_state, lr, images_u8, label_base, label_rle,
@@ -96,6 +96,10 @@ def build_tbptt_fn(tx, image_len: int = None, precision=None):
     the result is numerically identical to the reference's unpadded batches.
     Loss sums are summed over the windows (each a mean over valid*W
     positions), matching the reference accounting (train.py:206-208).
+
+    ``backend``: "xla" (lax.scan recurrences) or "pallas_train" (fused
+    forward+backward window kernels with a custom VJP — ~2-3x on TPU, same
+    DEFAULT matmul precision; helen_tpu.ops.gru_pallas_train).
     """
     import jax
     import jax.numpy as jnp
@@ -110,7 +114,8 @@ def build_tbptt_fn(tx, image_len: int = None, precision=None):
     rle_w = jnp.asarray(TRAIN.rle_class_weights, dtype=jnp.float32)
 
     def window_loss(p, x, hidden, yb, yr, row_mask):
-        base, rle, hidden_new = forward(p, x, hidden, precision=precision)
+        base, rle, hidden_new = forward(p, x, hidden, precision=precision,
+                                        backend=backend)
         lb = masked_cross_entropy(base, yb, row_mask)
         lr_ = masked_weighted_cross_entropy(rle, yr, rle_w, row_mask)
         return lb + lr_, (lb, lr_, hidden_new)
@@ -143,12 +148,19 @@ def build_tbptt_fn(tx, image_len: int = None, precision=None):
     return fn
 
 
-def make_train_step(tx, data_parallel: bool = False, precision=None):
+def make_train_step(tx, data_parallel: bool = False, precision=None,
+                    backend: str = "auto"):
     """Jit the TBPTT step for all local devices (batch-sharded 1-D mesh when
-    data_parallel and more than one device). Returns (step_fn, shard_multiple)."""
+    data_parallel and more than one device). Returns (step_fn, shard_multiple).
+
+    backend "auto" picks the fused Pallas training kernels on TPU and the
+    lax.scan path elsewhere."""
     import jax
 
-    fn = build_tbptt_fn(tx, precision=precision)
+    if backend == "auto":
+        platform = jax.local_devices()[0].platform
+        backend = "pallas_train" if platform in ("tpu", "axon") else "xla"
+    fn = build_tbptt_fn(tx, precision=precision, backend=backend)
 
     if data_parallel and len(jax.local_devices()) > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -191,6 +203,7 @@ class Trainer:
         data_parallel: bool = True,
         precision=None,
         checkpoint_every_batches: int = 200,
+        backend: str = "auto",
     ):
         import jax
         import jax.numpy as jnp
@@ -237,7 +250,9 @@ class Trainer:
             self.params = init_params(jax.random.PRNGKey(cfg.seed), MODEL)
             self.opt_state = self.tx.init(self.params)
         log.info("model parameters: %d", num_params(self.params))
-        self.step_fn, self.shard_multiple = make_train_step(self.tx, data_parallel, precision)
+        self.step_fn, self.shard_multiple = make_train_step(
+            self.tx, data_parallel, precision, backend=backend
+        )
         self.eff_batch = -(-cfg.batch_size // self.shard_multiple) * self.shard_multiple
         self.dataset = MarginPolishDataset(self.train_files, IMAGE, with_labels=True)
         if len(self.dataset) == 0:
@@ -364,6 +379,7 @@ def train_interface(
     learning_rate: float = 1e-4,
     weight_decay: float = 0.0,
     seed: int = 42,
+    backend: str = "auto",
 ) -> List[EpochStats]:
     """CLI entry: timestamped model/stats dirs like the reference
     (TrainInterface.py + FileManager.py:25-48)."""
@@ -382,5 +398,6 @@ def train_interface(
         stats_dir=os.path.join(run_dir, "stats"),
         num_workers=num_workers,
         retrain_model_path=retrain_model_path,
+        backend=backend,
     )
     return trainer.run(epochs)

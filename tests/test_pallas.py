@@ -9,6 +9,7 @@ import pytest
 
 from helen_tpu.models.gru import bigru_apply, bigru_init
 from helen_tpu.ops.gru_pallas import _pick_block, bigru_apply_fused
+from helen_tpu.ops.gru_pallas_train import bigru_apply_fused_train
 
 
 def test_pick_block():
@@ -30,6 +31,64 @@ def test_fused_matches_scan_interpret(T, B, D):
     ref_out, ref_hf, ref_hb = bigru_apply(params, x, h0f, h0b)
     got_out, got_hf, got_hb = bigru_apply_fused(
         params, x, h0f, h0b, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_hf), np.asarray(ref_hf), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_hb), np.asarray(ref_hb), atol=1e-5)
+
+
+@pytest.mark.parametrize("T,B,D", [(7, 16, 90), (4, 8, 256)])
+def test_train_kernel_grad_matches_scan_interpret(T, B, D):
+    """Value AND gradient parity of the fused train kernel (custom VJP) vs the
+    lax.scan bi-GRU, in interpret mode: d/d{params, x, h0} of a loss that
+    exercises every output cotangent (outputs + both final hiddens)."""
+    params = jax.tree_util.tree_map(
+        jnp.asarray, bigru_init(jax.random.PRNGKey(2), D, 128)
+    )
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((T, B, D)), dtype=jnp.float32)
+    h0f = jnp.asarray(rng.standard_normal((B, 128)), dtype=jnp.float32)
+    h0b = jnp.asarray(rng.standard_normal((B, 128)), dtype=jnp.float32)
+    w_out = jnp.asarray(rng.standard_normal((T, B, 256)), dtype=jnp.float32)
+    w_hf = jnp.asarray(rng.standard_normal((B, 128)), dtype=jnp.float32)
+    w_hb = jnp.asarray(rng.standard_normal((B, 128)), dtype=jnp.float32)
+
+    def loss(apply_fn, p, xx, hf0, hb0):
+        out, hf, hb = apply_fn(p, xx, hf0, hb0)
+        return (
+            jnp.sum(out * w_out) + jnp.sum(hf * w_hf) + jnp.sum(hb * w_hb)
+        ) / (T * B)
+
+    ref_val, ref_grads = jax.value_and_grad(
+        lambda *a: loss(bigru_apply, *a), argnums=(0, 1, 2, 3)
+    )(params, x, h0f, h0b)
+    fused = lambda p, xx, hf0, hb0: bigru_apply_fused_train(
+        p, xx, hf0, hb0, interpret=True
+    )
+    got_val, got_grads = jax.value_and_grad(
+        lambda *a: loss(fused, *a), argnums=(0, 1, 2, 3)
+    )(params, x, h0f, h0b)
+
+    np.testing.assert_allclose(float(got_val), float(ref_val), rtol=1e-6)
+    flat_ref, _ = jax.tree_util.tree_flatten(ref_grads)
+    flat_got, tree_got = jax.tree_util.tree_flatten(got_grads)
+    assert len(flat_ref) == len(flat_got)
+    for g_ref, g_got in zip(flat_ref, flat_got):
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_ref), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_train_kernel_forward_matches_scan_interpret():
+    params = jax.tree_util.tree_map(
+        jnp.asarray, bigru_init(jax.random.PRNGKey(3), 90, 128)
+    )
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((9, 8, 90)), dtype=jnp.float32)
+    h0 = jnp.asarray(rng.standard_normal((8, 128)), dtype=jnp.float32)
+    ref_out, ref_hf, ref_hb = bigru_apply(params, x, h0, h0)
+    got_out, got_hf, got_hb = bigru_apply_fused_train(
+        params, x, h0, h0, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out), atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_hf), np.asarray(ref_hf), atol=1e-5)
