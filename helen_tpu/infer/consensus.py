@@ -76,11 +76,18 @@ class ConsensusStep:
             batch_sharded = NamedSharding(mesh, P("data"))
             self._params = jax.device_put(params, replicated)
             self._batch_sharding = batch_sharded
-            self._jfn = jax.jit(
+            # shard_map, not a GSPMD-sharded jit: the Pallas backends lower
+            # to Mosaic custom calls, which GSPMD cannot auto-partition
+            # (NotImplementedError on multi-chip hosts). Inference is
+            # embarrassingly parallel over the batch — no collectives.
+            sfn = jax.shard_map(
                 fn,
-                in_shardings=(replicated, batch_sharded),
-                out_shardings=(batch_sharded, batch_sharded),
+                mesh=mesh,
+                in_specs=(P(), P("data")),
+                out_specs=(P("data"), P("data")),
+                check_vma=False,  # the zero init_hidden is vma-invariant
             )
+            self._jfn = jax.jit(sfn)
         else:
             self._params = jax.device_put(params)
             self._jfn = jax.jit(fn)

@@ -65,6 +65,11 @@ def make_sharded_train_step(
 
     from helen_tpu.train.train_loop import build_tbptt_fn
 
+    # xla (lax.scan) backend on purpose: this path tensor-shards w_hh over
+    # the "model" axis, which GSPMD can partition through a scan but not
+    # through a Mosaic custom call. The fused pallas_train backend is used
+    # by the pure-data-parallel trainer (train_loop.make_train_step), which
+    # wraps it in shard_map instead.
     fn = build_tbptt_fn(tx, image_len=image_len, precision=precision)
 
     pspecs = param_partition_specs(None)

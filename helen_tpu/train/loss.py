@@ -52,3 +52,30 @@ def masked_weighted_cross_entropy(
     ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     w = class_weights[labels] * row_mask[:, None]
     return -(w * ll).sum() / jnp.maximum(w.sum(), 1e-12)
+
+
+def masked_cross_entropy_parts(
+    logits: jnp.ndarray, labels: jnp.ndarray, row_mask: jnp.ndarray
+) -> tuple:
+    """(numerator, denominator) of masked_cross_entropy, so a data-parallel
+    shard can psum both parts before dividing — sum(psum num)/psum(den) is the
+    exact global mean even when padding rows land unevenly across shards."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    m = row_mask[:, None]
+    return -(ll * m).sum(), m.sum() * ll.shape[1]
+
+
+def masked_weighted_cross_entropy_parts(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    class_weights: jnp.ndarray,
+    row_mask: jnp.ndarray,
+) -> tuple:
+    """(numerator, denominator) of masked_weighted_cross_entropy (torch's
+    weighted-mean convention: denominator is the sum of selected class
+    weights, which is data-dependent and must be reduced globally)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    w = class_weights[labels] * row_mask[:, None]
+    return -(w * ll).sum(), w.sum()

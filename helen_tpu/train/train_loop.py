@@ -86,7 +86,8 @@ def make_optimizer(weight_decay: float = 0.0):
     return optax.scale_by_adam()
 
 
-def build_tbptt_fn(tx, image_len: int = None, precision=None, backend: str = "xla"):
+def build_tbptt_fn(tx, image_len: int = None, precision=None, backend: str = "xla",
+                   axis_name: str = None):
     """The pure per-batch TBPTT function (unjitted).
 
     Signature: (params, opt_state, lr, images_u8, label_base, label_rle,
@@ -100,6 +101,16 @@ def build_tbptt_fn(tx, image_len: int = None, precision=None, backend: str = "xl
     ``backend``: "xla" (lax.scan recurrences) or "pallas_train" (fused
     forward+backward window kernels with a custom VJP — ~2-3x on TPU, same
     DEFAULT matmul precision; helen_tpu.ops.gru_pallas_train).
+
+    ``axis_name``: when set, the fn is written for a shard_map body over a
+    batch-sharded mesh axis of that name: row masks use GLOBAL row indices
+    (shard offset from lax.axis_index), loss denominators (including the
+    data-dependent weighted-CE weight sum) are psummed before dividing, and
+    gradients are psummed before the per-window optimizer step — so every
+    replica applies the exact global update and params stay replicated.
+    Required for the Pallas backends on multi-chip hosts: Mosaic kernels
+    cannot be auto-partitioned by GSPMD (jax tpu_custom_call lowering) —
+    a plain sharded jit raises NotImplementedError.
     """
     import jax
     import jax.numpy as jnp
@@ -107,7 +118,10 @@ def build_tbptt_fn(tx, image_len: int = None, precision=None, backend: str = "xl
     from jax import lax
 
     from helen_tpu.models.transducer import forward, init_hidden
-    from helen_tpu.train.loss import masked_cross_entropy, masked_weighted_cross_entropy
+    from helen_tpu.train.loss import (
+        masked_cross_entropy_parts,
+        masked_weighted_cross_entropy_parts,
+    )
 
     W = WINDOW.window
     starts = jnp.asarray(WINDOW.starts(image_len or IMAGE.seq_length), dtype=jnp.int32)
@@ -116,8 +130,15 @@ def build_tbptt_fn(tx, image_len: int = None, precision=None, backend: str = "xl
     def window_loss(p, x, hidden, yb, yr, row_mask):
         base, rle, hidden_new = forward(p, x, hidden, precision=precision,
                                         backend=backend)
-        lb = masked_cross_entropy(base, yb, row_mask)
-        lr_ = masked_weighted_cross_entropy(rle, yr, rle_w, row_mask)
+        nb, db = masked_cross_entropy_parts(base, yb, row_mask)
+        nr, dr = masked_weighted_cross_entropy_parts(rle, yr, rle_w, row_mask)
+        if axis_name is not None:
+            # global denominators (db counts valid rows, dr is the selected
+            # class-weight sum — both label-dependent, both must be global)
+            db = lax.psum(db, axis_name)
+            dr = lax.psum(dr, axis_name)
+        lb = nb / jnp.maximum(db, 1.0)
+        lr_ = nr / jnp.maximum(dr, 1e-12)
         return lb + lr_, (lb, lr_, hidden_new)
 
     grad_fn = jax.value_and_grad(window_loss, has_aux=True)
@@ -126,7 +147,10 @@ def build_tbptt_fn(tx, image_len: int = None, precision=None, backend: str = "xl
         B, L, F = images_u8.shape
         images = images_u8.astype(jnp.float32)
         hidden = init_hidden(B, MODEL)
-        row_mask = (jnp.arange(B) < valid).astype(jnp.float32)
+        rows = jnp.arange(B)
+        if axis_name is not None:
+            rows = rows + lax.axis_index(axis_name) * B  # global row indices
+        row_mask = (rows < valid).astype(jnp.float32)
 
         def body(carry, start):
             params, opt_state, hidden, tot, tot_b, tot_r = carry
@@ -136,6 +160,11 @@ def build_tbptt_fn(tx, image_len: int = None, precision=None, backend: str = "xl
             (loss, (lb, lr_, hidden)), grads = grad_fn(
                 params, x, hidden, yb, yr, row_mask
             )
+            if axis_name is not None:
+                # each shard's grads/losses are contributions to the global
+                # mean (global denominator above): psum completes them, and
+                # the optimizer step below is then replica-identical
+                grads, loss, lb, lr_ = lax.psum((grads, loss, lb, lr_), axis_name)
             updates, opt_state = tx.update(grads, opt_state, params)
             updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
             params = optax.apply_updates(params, updates)
@@ -160,22 +189,30 @@ def make_train_step(tx, data_parallel: bool = False, precision=None,
     if backend == "auto":
         platform = jax.local_devices()[0].platform
         backend = "pallas_train" if platform in ("tpu", "axon") else "xla"
-    fn = build_tbptt_fn(tx, precision=precision, backend=backend)
 
     if data_parallel and len(jax.local_devices()) > 1:
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from jax.sharding import Mesh, PartitionSpec as P
 
+        # shard_map, not a GSPMD-sharded jit: Mosaic kernels (the
+        # pallas_train backend) cannot be auto-partitioned — jax's
+        # tpu_custom_call lowering raises NotImplementedError under a
+        # sharded jit. The fn body psums denominators and gradients
+        # (axis_name), so params/opt_state stay replica-identical.
         devices = jax.local_devices()
         mesh = Mesh(np.asarray(devices), ("data",))
-        rep = NamedSharding(mesh, P())
-        shard = NamedSharding(mesh, P("data"))
-        jfn = jax.jit(
+        fn = build_tbptt_fn(tx, precision=precision, backend=backend,
+                            axis_name="data")
+        rep, shard = P(), P("data")
+        sfn = jax.shard_map(
             fn,
-            in_shardings=(rep, rep, rep, shard, shard, shard, rep),
-            out_shardings=(rep, rep, rep, rep, rep),
-            donate_argnums=(0, 1),
+            mesh=mesh,
+            in_specs=(rep, rep, rep, shard, shard, shard, rep),
+            out_specs=(rep, rep, rep, rep, rep),
+            check_vma=False,  # outputs are replicated via psum-ed grads
         )
+        jfn = jax.jit(sfn, donate_argnums=(0, 1))
         return jfn, len(devices)
+    fn = build_tbptt_fn(tx, precision=precision, backend=backend)
     return jax.jit(fn, donate_argnums=(0, 1)), 1
 
 

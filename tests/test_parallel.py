@@ -72,6 +72,40 @@ def test_sharded_train_matches_single_device():
     )
 
 
+def test_shard_map_train_step_matches_single_device_with_padding():
+    """make_train_step's multi-device path (shard_map + psummed global
+    denominators/gradients) must reproduce the single-device TBPTT step
+    exactly — including when padding rows (valid < B) land entirely on the
+    last shards, where per-shard loss means would be wrong."""
+    from helen_tpu.train.train_loop import build_tbptt_fn, make_train_step
+
+    params0 = init_params(jax.random.PRNGKey(4), MODEL)
+    tx = make_optimizer(0.0)
+    rng = np.random.default_rng(5)
+    B, valid = 16, 11  # 5 padding rows: shards 5..7 of 8 partially/all pad
+    images = rng.integers(0, 40, size=(B, 1000, 90)).astype(np.uint8)
+    yb = rng.integers(0, 5, size=(B, 1000)).astype(np.int32)
+    yr = rng.integers(0, 11, size=(B, 1000)).astype(np.int32)
+
+    fn = build_tbptt_fn(tx, precision=jax.lax.Precision.HIGHEST)
+    single = jax.jit(fn, device=jax.devices()[0])
+    p1, _, loss1, lb1, lr1 = single(params0, tx.init(params0),
+                                    jnp.float32(1e-3), images, yb, yr, valid)
+
+    step, mult = make_train_step(tx, data_parallel=True,
+                                 precision=jax.lax.Precision.HIGHEST)
+    assert mult == len(jax.devices())
+    p2, _, loss2, lb2, lr2 = step(params0, tx.init(params0),
+                                  jnp.float32(1e-3), images, yb, yr, valid)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    np.testing.assert_allclose(float(lb1), float(lb2), rtol=1e-5)
+    np.testing.assert_allclose(float(lr1), float(lr2), rtol=1e-5)
+    for k in ("base_head", "rle_head"):
+        np.testing.assert_allclose(
+            np.asarray(p1[k]["w"]), np.asarray(p2[k]["w"]), atol=1e-5
+        )
+
+
 def test_sharded_consensus_matches_single_device():
     params = init_params(jax.random.PRNGKey(2), MODEL)
     rng = np.random.default_rng(1)
