@@ -23,8 +23,8 @@ multiplication (n = tanh(x_in + r * (W_hn h + b_hn))), so hp = h @ W_hh + b_hh
 is computed per step, bit-equivalent to the reference recurrence
 (models/gru.py gru_scan).
 
-Used on the inference path (helen_tpu.infer); training keeps the lax.scan
-path (Pallas custom VJPs are not needed for a model this size).
+Used on the inference path (helen_tpu.infer); training has its own fused
+forward+backward kernels with a custom VJP (ops/gru_pallas_train.py).
 
 Explored and rejected layouts (2026-08, libtpu of that era): (a) a single
 stacked (T, 2, B, 3H) input with one batched dot_general measured ~1.8x
