@@ -65,14 +65,24 @@ def measure(
         rep = NamedSharding(mesh, P())
         shard = NamedSharding(mesh, P("data"))
         p = jax.device_put(params, rep)
-        fn = jax.jit(
-            lambda pp, im: [
-                o.sum()
-                for o in consensus_labels(pp, im.astype(jnp.float32),
-                                          backend=backend)
-            ],
-            in_shardings=(rep, shard),
-        )
+
+        def step(pp, im):
+            base_l, rle_l = consensus_labels(pp, im.astype(jnp.float32),
+                                             backend=backend)
+            s_b, s_r = base_l.sum(), rle_l.sum()
+            if k > 1:
+                s_b = jax.lax.psum(s_b, "data")
+                s_r = jax.lax.psum(s_r, "data")
+            return s_b, s_r
+
+        if k > 1:
+            # shard_map, not a GSPMD-sharded jit: Mosaic kernels cannot be
+            # auto-partitioned (same as infer.consensus.ConsensusStep)
+            step = jax.shard_map(
+                step, mesh=mesh, in_specs=(P(), P("data")),
+                out_specs=(P(), P()), check_vma=False,
+            )
+        fn = jax.jit(step)
         B = per_device_batch * k
         batches = [
             jax.device_put(
