@@ -78,6 +78,10 @@ def open_prediction_file(path: str) -> "h5py.File":
             f.close()
         except Exception:
             pass
+        with _registry_lock:
+            reg = _registry.get(os.path.realpath(path))
+            if reg and f in reg:
+                reg.remove(f)
         groups = getattr(_read_handles, "groups", None)
         if groups:
             for key in [k for k in groups if k[0] == path]:

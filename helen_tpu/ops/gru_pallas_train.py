@@ -46,7 +46,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-H = 128  # transducer hidden size (config.MODEL.hidden_size)
+from helen_tpu.ops.gru_pallas import H, _pick_block
 
 
 def _gates_train(h_prev, xp, w, b_hh):
@@ -145,17 +145,6 @@ def _bwd_kernel(
     def _final():
         dh0_f_ref[:] = dhf_new
         dh0_b_ref[:] = dhb_new
-
-
-def _pick_block(B: int, target: int = 256) -> int:
-    if B <= target:
-        return B
-    b = target
-    while B % b != 0:
-        b -= 8 if b > 8 else 1
-        if b <= 8:
-            return B if B % 8 else 8
-    return b
 
 
 def _specs(T: int, Bt: int):

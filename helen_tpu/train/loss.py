@@ -35,11 +35,8 @@ def masked_cross_entropy(
     """Mean CE over rows where row_mask (shape (B,)) is 1 — used when a batch
     is padded to a device-count multiple; numerically identical to
     cross_entropy over the unpadded rows."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]  # (B, W)
-    m = row_mask[:, None]
-    denom = jnp.maximum(m.sum() * ll.shape[1], 1.0)
-    return -(ll * m).sum() / denom
+    n, d = masked_cross_entropy_parts(logits, labels, row_mask)
+    return n / jnp.maximum(d, 1.0)
 
 
 def masked_weighted_cross_entropy(
@@ -48,10 +45,8 @@ def masked_weighted_cross_entropy(
     class_weights: jnp.ndarray,
     row_mask: jnp.ndarray,
 ) -> jnp.ndarray:
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-    w = class_weights[labels] * row_mask[:, None]
-    return -(w * ll).sum() / jnp.maximum(w.sum(), 1e-12)
+    n, d = masked_weighted_cross_entropy_parts(logits, labels, class_weights, row_mask)
+    return n / jnp.maximum(d, 1e-12)
 
 
 def masked_cross_entropy_parts(
