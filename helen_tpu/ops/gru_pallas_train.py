@@ -12,10 +12,11 @@ the inference kernel (ops/gru_pallas.py) but differentiable:
     backward pass needs: ``save = [r | z | n | h_prev]`` (T, B, 4H);
   * the backward kernel replays the window in reverse recurrence order with
     the hidden cotangent resident in VMEM, emitting the input-projection
-    cotangent ``dxp`` per step; the weight/bias cotangents are then two large
-    MXU contractions over (T*B) in XLA (dW_hh = h_prev^T dhp, db_hh = sum
-    dhp) — batched matmuls XLA is already optimal at, so the kernel carries
-    no cross-step accumulators;
+    cotangent ``dxp`` per step AND accumulating the weight/bias cotangents
+    (dW_hh += h_prev^T dhp, db_hh += sum dhp) in VMEM-resident output
+    blocks across the whole grid — doing these as XLA einsums instead was
+    measured to dominate backward-pass HBM traffic at large batch (they
+    re-read the save/dxp streams and materialize dhp);
   * ``jax.custom_vjp`` stitches the two kernels into a drop-in
     differentiable bi-GRU window (``bigru_apply_fused_train``).
 
@@ -109,18 +110,21 @@ def _bwd_dir(save, dout, dh_carry, w_ref, wT_ref, bh_ref):
     dxp = jnp.concatenate([drpre, dzpre, da], axis=1)
     dhp = jnp.concatenate([drpre, dzpre, da * r], axis=1)
     dh_next = dh * z + jnp.dot(dhp, wT_ref[:], preferred_element_type=jnp.float32)
-    return dxp, dh_next
+    return dxp, dhp, h_prev, dh_next
 
 
 def _bwd_kernel(
     save_f_ref, save_b_ref, dout_f_ref, dout_b_ref, dhf_ref, dhb_ref,
     wf_ref, wb_ref, wTf_ref, wTb_ref, bh_f_ref, bh_b_ref,
     dxp_f_ref, dxp_b_ref, dh0_f_ref, dh0_b_ref,
+    dw_f_ref, dw_b_ref, db_f_ref, db_b_ref,
     dh_f, dh_b,
     *, T: int,
 ):
     import jax.experimental.pallas as pl
+    from jax import lax
 
+    b = pl.program_id(0)
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -130,16 +134,45 @@ def _bwd_kernel(
         dh_f[:] = dhf_ref[:]
         dh_b[:] = dhb_ref[:]
 
-    dxp_f, dhf_new = _bwd_dir(
+    dxp_f, dhp_f, hprev_f, dhf_new = _bwd_dir(
         save_f_ref[0], dout_f_ref[0], dh_f[:], wf_ref, wTf_ref, bh_f_ref
     )
-    dxp_b, dhb_new = _bwd_dir(
+    dxp_b, dhp_b, hprev_b, dhb_new = _bwd_dir(
         save_b_ref[0], dout_b_ref[0], dh_b[:], wb_ref, wTb_ref, bh_b_ref
     )
     dxp_f_ref[0] = dxp_f
     dxp_b_ref[0] = dxp_b
     dh_f[:] = dhf_new
     dh_b[:] = dhb_new
+
+    # weight/bias cotangents accumulated in VMEM across the whole grid
+    # (dw/db block index maps are constant, so the blocks stay resident):
+    # dW_hh += h_prev^T dhp via dot_general contracting the batch dim
+    # (no transpose op — gentler on the Mosaic emitter), db_hh += sum dhp.
+    # This replaces two (T*B)-row XLA einsums that re-read the save and
+    # dxp streams and materialized dhp in HBM — the dominant backward-pass
+    # HBM traffic at large batch (docs/performance.md).
+    batch_contract = (((0,), (0,)), ((), ()))
+    dw_step_f = lax.dot_general(hprev_f, dhp_f, batch_contract,
+                                preferred_element_type=jnp.float32)
+    dw_step_b = lax.dot_general(hprev_b, dhp_b, batch_contract,
+                                preferred_element_type=jnp.float32)
+    db_step_f = jnp.sum(dhp_f, axis=0, keepdims=True)
+    db_step_b = jnp.sum(dhp_b, axis=0, keepdims=True)
+
+    @pl.when((b == 0) & (t == 0))
+    def _init_grads():
+        dw_f_ref[:] = dw_step_f
+        dw_b_ref[:] = dw_step_b
+        db_f_ref[:] = db_step_f
+        db_b_ref[:] = db_step_b
+
+    @pl.when((b > 0) | (t > 0))
+    def _acc_grads():
+        dw_f_ref[:] += dw_step_f
+        dw_b_ref[:] += dw_step_b
+        db_f_ref[:] += db_step_f
+        db_b_ref[:] += db_step_b
 
     @pl.when(t == T - 1)
     def _final():
@@ -217,7 +250,9 @@ def fused_bigru_window_train_bwd(
     save_f, save_b, dout_f, dout_b, dhf, dhb, w_f, w_b, bh_f, bh_b,
     interpret: bool = False,
 ):
-    """Backward window: returns (dxp_f, dxp_b, dh0_f, dh0_b)."""
+    """Backward window: returns (dxp_f, dxp_b, dh0_f, dh0_b,
+    dw_f, dw_b, db_f, db_b) — the weight/bias cotangents are accumulated
+    in-kernel (VMEM-resident) across the whole grid."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -229,7 +264,8 @@ def fused_bigru_window_train_bwd(
     # time-reversed streams for the forward direction (its recurrence is
     # unwound T-1 -> 0), forward-ordered for the backward direction (its
     # recurrence ran reversed, so its unwind runs 0 -> T-1)
-    dxp_f, dxp_b, dh0_f, dh0_b = pl.pallas_call(
+    (dxp_f, dxp_b, dh0_f, dh0_b,
+     dw_f, dw_b, db_f, db_b) = pl.pallas_call(
         functools.partial(_bwd_kernel, T=T),
         grid=grid,
         in_specs=[
@@ -243,12 +279,18 @@ def fused_bigru_window_train_bwd(
         out_specs=[
             sp["stream"](3 * H, True), sp["stream"](3 * H, False),
             sp["vec"], sp["vec"],
+            sp["w"](H, 3 * H), sp["w"](H, 3 * H),
+            sp["bias"], sp["bias"],
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
             jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * H), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((Bt, H), jnp.float32),
@@ -257,7 +299,7 @@ def fused_bigru_window_train_bwd(
         interpret=interpret,
     )(save_f, save_b, dout_f, dout_b, dhf, dhb,
       w_f, w_b, jnp.swapaxes(w_f, 0, 1), jnp.swapaxes(w_b, 0, 1), bh_f, bh_b)
-    return dxp_f, dxp_b, dh0_f, dh0_b
+    return dxp_f, dxp_b, dh0_f, dh0_b, dw_f, dw_b, db_f, db_b
 
 
 @functools.lru_cache(maxsize=None)
@@ -280,23 +322,12 @@ def _window_core(interpret: bool):
     def bwd(res, cts):
         save_f, save_b, w_f, w_b, bh_f, bh_b = res
         dout_f, dout_b, dhf, dhb = cts
-        dxp_f, dxp_b, dh0_f, dh0_b = fused_bigru_window_train_bwd(
+        # weight/bias cotangents come out of the kernel (accumulated in
+        # VMEM) — no XLA-side (T*B) contractions or dhp materialization
+        return fused_bigru_window_train_bwd(
             save_f, save_b, dout_f, dout_b, dhf, dhb, w_f, w_b, bh_f, bh_b,
             interpret=interpret,
         )
-        # weight/bias cotangents: two large MXU contractions over (T*B) —
-        # dhp is dxp with the n block scaled by the saved reset gate
-        def w_grads(save, dxp):
-            r = save[..., :H]
-            h_prev = save[..., 3 * H :]
-            dhp = jnp.concatenate([dxp[..., : 2 * H], dxp[..., 2 * H :] * r], axis=-1)
-            dw = jnp.einsum("tbh,tbg->hg", h_prev, dhp)
-            db = dhp.sum((0, 1)).reshape(1, 3 * H)
-            return dw, db
-
-        dw_f, db_f = w_grads(save_f, dxp_f)
-        dw_b, db_b = w_grads(save_b, dxp_b)
-        return (dxp_f, dxp_b, dh0_f, dh0_b, dw_f, dw_b, db_f, db_b)
 
     core.defvjp(fwd, bwd)
     return core
