@@ -8,17 +8,27 @@ round-trips for the hidden state; this module runs each window's recurrence —
 forward AND backward — as one kernel launch per direction pair, exactly like
 the inference kernel (ops/gru_pallas.py) but differentiable:
 
-  * the forward kernel additionally streams out the per-step activations the
-    backward pass needs: ``save = [r | z | n | h_prev]`` (T, B, 4H);
+  * the forward kernel is the plain recurrence — it saves NOTHING beyond its
+    ordinary outputs. The backward pass recomputes the gates: its inputs are
+    streams that already exist — the pre-projections ``xp`` (the primal
+    input) and the per-step previous hidden, which is just the forward
+    output stream shifted one step (``h_prev[s] = out[s -/+ 1]``, with h0 at
+    the window boundary). Recomputing r/z/n from the same inputs with the
+    same ops reproduces the forward values EXACTLY, so this costs no
+    gradient accuracy — and it halves the forward kernel's HBM write
+    traffic, which measured as the binding resource (the kernels are
+    stream-bandwidth-bound; docs/performance.md "Training throughput");
   * the backward kernel replays the window in reverse recurrence order with
     the hidden cotangent resident in VMEM, emitting the input-projection
     cotangent ``dxp`` per step AND accumulating the weight/bias cotangents
     (dW_hh += h_prev^T dhp, db_hh += sum dhp) in VMEM-resident output
     blocks across the whole grid — doing these as XLA einsums instead was
     measured to dominate backward-pass HBM traffic at large batch (they
-    re-read the save/dxp streams and materialize dhp);
+    re-read streams and materialize dhp in HBM);
   * ``jax.custom_vjp`` stitches the two kernels into a drop-in
-    differentiable bi-GRU window (``bigru_apply_fused_train``).
+    differentiable bi-GRU window (``bigru_apply_fused_train``). Its
+    residuals (xp, out, h0, weights) are all arrays the surrounding program
+    keeps alive anyway — the VJP adds no activation memory at all.
 
 Precision: training runs the TPU's DEFAULT matmul precision (bf16 operands,
 f32 accumulation — docs/performance.md "Training throughput"); the in-kernel
@@ -51,18 +61,20 @@ from helen_tpu.ops.gru_pallas import H, _pick_block
 
 
 def _gates_train(h_prev, xp, w, b_hh):
+    """Recurrence gates at DEFAULT matmul precision; returns hp_n too so the
+    backward pass can reuse it."""
     hp = jnp.dot(h_prev, w, preferred_element_type=jnp.float32) + b_hh
     r = jax.nn.sigmoid(xp[:, :H] + hp[:, :H])
     z = jax.nn.sigmoid(xp[:, H : 2 * H] + hp[:, H : 2 * H])
-    n = jnp.tanh(xp[:, 2 * H :] + r * hp[:, 2 * H :])
-    h_new = (1.0 - z) * n + z * h_prev
-    return h_new, r, z, n
+    hp_n = hp[:, 2 * H :]
+    n = jnp.tanh(xp[:, 2 * H :] + r * hp_n)
+    return r, z, n, hp_n
 
 
 def _fwd_kernel(
     xp_f_ref, xp_b_ref, h0_f_ref, h0_b_ref,
     wf_ref, wb_ref, bh_f_ref, bh_b_ref,
-    out_f_ref, out_b_ref, hf_ref, hb_ref, save_f_ref, save_b_ref,
+    out_f_ref, out_b_ref, hf_ref, hb_ref,
     h_f, h_b,
     *, T: int,
 ):
@@ -76,14 +88,14 @@ def _fwd_kernel(
         h_b[:] = h0_b_ref[:]
 
     hprev_f, hprev_b = h_f[:], h_b[:]
-    hf_new, r_f, z_f, n_f = _gates_train(hprev_f, xp_f_ref[0], wf_ref[:], bh_f_ref[:])
-    hb_new, r_b, z_b, n_b = _gates_train(hprev_b, xp_b_ref[0], wb_ref[:], bh_b_ref[:])
+    r_f, z_f, n_f, _ = _gates_train(hprev_f, xp_f_ref[0], wf_ref[:], bh_f_ref[:])
+    r_b, z_b, n_b, _ = _gates_train(hprev_b, xp_b_ref[0], wb_ref[:], bh_b_ref[:])
+    hf_new = (1.0 - z_f) * n_f + z_f * hprev_f
+    hb_new = (1.0 - z_b) * n_b + z_b * hprev_b
     h_f[:] = hf_new
     h_b[:] = hb_new
     out_f_ref[0] = hf_new
     out_b_ref[0] = hb_new
-    save_f_ref[0] = jnp.concatenate([r_f, z_f, n_f, hprev_f], axis=1)
-    save_b_ref[0] = jnp.concatenate([r_b, z_b, n_b, hprev_b], axis=1)
 
     @pl.when(t == T - 1)
     def _final():
@@ -91,16 +103,9 @@ def _fwd_kernel(
         hb_ref[:] = hb_new
 
 
-def _bwd_dir(save, dout, dh_carry, w_ref, wT_ref, bh_ref):
-    r = save[:, :H]
-    z = save[:, H : 2 * H]
-    n = save[:, 2 * H : 3 * H]
-    h_prev = save[:, 3 * H :]
-    # recompute hp_n = h_prev @ W_hn + b_hn (cheaper than streaming it)
-    hp_n = (
-        jnp.dot(h_prev, w_ref[:, 2 * H :], preferred_element_type=jnp.float32)
-        + bh_ref[:, 2 * H :]
-    )
+def _bwd_dir(xp, h_prev, dout, dh_carry, w_ref, wT_ref, bh_ref):
+    # recompute the gates from xp + h_prev — bit-identical to the forward
+    r, z, n, hp_n = _gates_train(h_prev, xp, w_ref[:], bh_ref[:])
     dh = dout + dh_carry
     dz = dh * (h_prev - n)
     da = dh * (1.0 - z) * (1.0 - n * n)
@@ -110,11 +115,12 @@ def _bwd_dir(save, dout, dh_carry, w_ref, wT_ref, bh_ref):
     dxp = jnp.concatenate([drpre, dzpre, da], axis=1)
     dhp = jnp.concatenate([drpre, dzpre, da * r], axis=1)
     dh_next = dh * z + jnp.dot(dhp, wT_ref[:], preferred_element_type=jnp.float32)
-    return dxp, dhp, h_prev, dh_next
+    return dxp, dhp, dh_next
 
 
 def _bwd_kernel(
-    save_f_ref, save_b_ref, dout_f_ref, dout_b_ref, dhf_ref, dhb_ref,
+    xp_f_ref, xp_b_ref, hp_f_ref, hp_b_ref, h0_f_ref, h0_b_ref,
+    dout_f_ref, dout_b_ref, dhf_ref, dhb_ref,
     wf_ref, wb_ref, wTf_ref, wTb_ref, bh_f_ref, bh_b_ref,
     dxp_f_ref, dxp_b_ref, dh0_f_ref, dh0_b_ref,
     dw_f_ref, dw_b_ref, db_f_ref, db_b_ref,
@@ -134,11 +140,19 @@ def _bwd_kernel(
         dh_f[:] = dhf_ref[:]
         dh_b[:] = dhb_ref[:]
 
-    dxp_f, dhp_f, hprev_f, dhf_new = _bwd_dir(
-        save_f_ref[0], dout_f_ref[0], dh_f[:], wf_ref, wTf_ref, bh_f_ref
+    # h_prev per step is the forward out stream shifted one step; at the
+    # window boundary (grid t == T-1 unwinds recurrence step 0 for the
+    # forward direction and step T-1 for the backward direction — both
+    # boundaries land on the same grid step) it is the initial hidden
+    at_boundary = t == T - 1
+    hprev_f = jnp.where(at_boundary, h0_f_ref[:], hp_f_ref[0])
+    hprev_b = jnp.where(at_boundary, h0_b_ref[:], hp_b_ref[0])
+
+    dxp_f, dhp_f, dhf_new = _bwd_dir(
+        xp_f_ref[0], hprev_f, dout_f_ref[0], dh_f[:], wf_ref, wTf_ref, bh_f_ref
     )
-    dxp_b, dhp_b, hprev_b, dhb_new = _bwd_dir(
-        save_b_ref[0], dout_b_ref[0], dh_b[:], wb_ref, wTb_ref, bh_b_ref
+    dxp_b, dhp_b, dhb_new = _bwd_dir(
+        xp_b_ref[0], hprev_b, dout_b_ref[0], dh_b[:], wb_ref, wTb_ref, bh_b_ref
     )
     dxp_f_ref[0] = dxp_f
     dxp_b_ref[0] = dxp_b
@@ -149,9 +163,6 @@ def _bwd_kernel(
     # (dw/db block index maps are constant, so the blocks stay resident):
     # dW_hh += h_prev^T dhp via dot_general contracting the batch dim
     # (no transpose op — gentler on the Mosaic emitter), db_hh += sum dhp.
-    # This replaces two (T*B)-row XLA einsums that re-read the save and
-    # dxp streams and materialized dhp in HBM — the dominant backward-pass
-    # HBM traffic at large batch (docs/performance.md).
     batch_contract = (((0,), (0,)), ((), ()))
     dw_step_f = lax.dot_general(hprev_f, dhp_f, batch_contract,
                                 preferred_element_type=jnp.float32)
@@ -191,8 +202,21 @@ def _specs(T: int, Bt: int):
             memory_space=pltpu.VMEM,
         )
 
+    def stream_shifted(width: int, rev: bool):
+        # the h_prev streams: forward-direction unwind at grid t is
+        # recurrence step s = T-1-t and needs out[s-1] -> block T-2-t
+        # (clamped; the t == T-1 read is discarded for h0); backward-
+        # direction unwind at grid t is step s = t and needs out[s+1]
+        # -> block t+1 (clamped likewise)
+        if rev:
+            index = lambda b, t: (jnp.maximum(T - 2 - t, 0), b, 0)
+        else:
+            index = lambda b, t: (jnp.minimum(t + 1, T - 1), b, 0)
+        return pl.BlockSpec((1, Bt, width), index, memory_space=pltpu.VMEM)
+
     return dict(
         stream=stream,
+        stream_shifted=stream_shifted,
         vec=pl.BlockSpec((Bt, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
         w=lambda r, c: pl.BlockSpec((r, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
         bias=pl.BlockSpec((1, 3 * H), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
@@ -203,8 +227,8 @@ def _specs(T: int, Bt: int):
 def fused_bigru_window_train_fwd(
     xp_f, xp_b, h0_f, h0_b, w_f, w_b, bh_f, bh_b, interpret: bool = False
 ):
-    """Forward window for training: returns (out_f, out_b, hf, hb,
-    save_f, save_b) with save = [r|z|n|h_prev] per step (T, B, 4H)."""
+    """Forward window for training: returns (out_f, out_b, hf, hb) — the
+    plain recurrence, nothing saved (the backward recomputes gates)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -214,7 +238,7 @@ def fused_bigru_window_train_fwd(
     assert B % Bt == 0
     sp = _specs(T, Bt)
     grid = (B // Bt, T)
-    out_f, out_b, hf, hb, save_f, save_b = pl.pallas_call(
+    out_f, out_b, hf, hb = pl.pallas_call(
         functools.partial(_fwd_kernel, T=T),
         grid=grid,
         in_specs=[
@@ -226,15 +250,12 @@ def fused_bigru_window_train_fwd(
         out_specs=[
             sp["stream"](H, False), sp["stream"](H, True),
             sp["vec"], sp["vec"],
-            sp["stream"](4 * H, False), sp["stream"](4 * H, True),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, 4 * H), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, 4 * H), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((Bt, H), jnp.float32),
@@ -242,12 +263,13 @@ def fused_bigru_window_train_fwd(
         ],
         interpret=interpret,
     )(xp_f, xp_b, h0_f, h0_b, w_f, w_b, bh_f, bh_b)
-    return out_f, out_b, hf, hb, save_f, save_b
+    return out_f, out_b, hf, hb
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_bigru_window_train_bwd(
-    save_f, save_b, dout_f, dout_b, dhf, dhb, w_f, w_b, bh_f, bh_b,
+    xp_f, xp_b, out_f, out_b, h0_f, h0_b, dout_f, dout_b, dhf, dhb,
+    w_f, w_b, bh_f, bh_b,
     interpret: bool = False,
 ):
     """Backward window: returns (dxp_f, dxp_b, dh0_f, dh0_b,
@@ -256,8 +278,8 @@ def fused_bigru_window_train_bwd(
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    T, B, fourH = save_f.shape
-    assert fourH == 4 * H
+    T, B, threeH = xp_f.shape
+    assert threeH == 3 * H
     Bt = _pick_block(B)
     sp = _specs(T, Bt)
     grid = (B // Bt, T)
@@ -269,7 +291,9 @@ def fused_bigru_window_train_bwd(
         functools.partial(_bwd_kernel, T=T),
         grid=grid,
         in_specs=[
-            sp["stream"](4 * H, True), sp["stream"](4 * H, False),
+            sp["stream"](3 * H, True), sp["stream"](3 * H, False),
+            sp["stream_shifted"](H, True), sp["stream_shifted"](H, False),
+            sp["vec"], sp["vec"],
             sp["stream"](H, True), sp["stream"](H, False),
             sp["vec"], sp["vec"],
             sp["w"](H, 3 * H), sp["w"](H, 3 * H),
@@ -297,7 +321,7 @@ def fused_bigru_window_train_bwd(
             pltpu.VMEM((Bt, H), jnp.float32),
         ],
         interpret=interpret,
-    )(save_f, save_b, dout_f, dout_b, dhf, dhb,
+    )(xp_f, xp_b, out_f, out_b, h0_f, h0_b, dout_f, dout_b, dhf, dhb,
       w_f, w_b, jnp.swapaxes(w_f, 0, 1), jnp.swapaxes(w_b, 0, 1), bh_f, bh_b)
     return dxp_f, dxp_b, dh0_f, dh0_b, dw_f, dw_b, db_f, db_b
 
@@ -308,25 +332,25 @@ def _window_core(interpret: bool):
 
     @jax.custom_vjp
     def core(xp_f, xp_b, h0_f, h0_b, w_f, w_b, bh_f, bh_b):
-        out_f, out_b, hf, hb, _, _ = fused_bigru_window_train_fwd(
+        return fused_bigru_window_train_fwd(
             xp_f, xp_b, h0_f, h0_b, w_f, w_b, bh_f, bh_b, interpret=interpret
         )
-        return out_f, out_b, hf, hb
 
     def fwd(xp_f, xp_b, h0_f, h0_b, w_f, w_b, bh_f, bh_b):
-        out_f, out_b, hf, hb, save_f, save_b = fused_bigru_window_train_fwd(
+        out_f, out_b, hf, hb = fused_bigru_window_train_fwd(
             xp_f, xp_b, h0_f, h0_b, w_f, w_b, bh_f, bh_b, interpret=interpret
         )
-        return (out_f, out_b, hf, hb), (save_f, save_b, w_f, w_b, bh_f, bh_b)
+        res = (xp_f, xp_b, out_f, out_b, h0_f, h0_b, w_f, w_b, bh_f, bh_b)
+        return (out_f, out_b, hf, hb), res
 
     def bwd(res, cts):
-        save_f, save_b, w_f, w_b, bh_f, bh_b = res
+        xp_f, xp_b, out_f, out_b, h0_f, h0_b, w_f, w_b, bh_f, bh_b = res
         dout_f, dout_b, dhf, dhb = cts
-        # weight/bias cotangents come out of the kernel (accumulated in
-        # VMEM) — no XLA-side (T*B) contractions or dhp materialization
+        # all cotangents come out of the kernel — no XLA-side (T*B)
+        # contractions, no dhp materialization, no saved activations
         return fused_bigru_window_train_bwd(
-            save_f, save_b, dout_f, dout_b, dhf, dhb, w_f, w_b, bh_f, bh_b,
-            interpret=interpret,
+            xp_f, xp_b, out_f, out_b, h0_f, h0_b, dout_f, dout_b, dhf, dhb,
+            w_f, w_b, bh_f, bh_b, interpret=interpret,
         )
 
     core.defvjp(fwd, bwd)
