@@ -59,7 +59,9 @@ def download_models(
             paths.append(dest)
             continue
         log.info("downloading %s", name)
-        tmp = dest + ".part"
+        # pid-suffixed so concurrent downloaders (e.g. several hosts sharing
+        # a model dir) never write the same temp file
+        tmp = f"{dest}.part{os.getpid()}"
         with urllib.request.urlopen(url, timeout=timeout) as resp, open(tmp, "wb") as f:
             while True:
                 chunk = resp.read(1 << 20)

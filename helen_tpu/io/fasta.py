@@ -28,7 +28,7 @@ def read_fasta(path: str):
     chunks = []
     with open(path) as f:
         for line in f:
-            line = line.rstrip("\n")
+            line = line.rstrip("\r\n")  # tolerate CRLF files
             if line.startswith(">"):
                 if name is not None:
                     yield name, "".join(chunks)

@@ -115,15 +115,24 @@ def _write_pack(tmp, ds, idx, n, L, F, files, with_labels, chunk_rows,
             dtype=str_dt,
         )
         g["source_mtimes"] = np.array([os.path.getmtime(f) for f in files])
+        g["with_labels"] = int(with_labels)
+        g["image_shape"] = np.array([L, F], dtype=np.int64)
         if subset:
             g["source_indices"] = np.asarray(idx, dtype=np.int64)
 
 
 def cache_is_fresh(
-    cache_path: str, files: Sequence[str], indices: Optional[Sequence[int]] = None
+    cache_path: str,
+    files: Sequence[str],
+    indices: Optional[Sequence[int]] = None,
+    image_config: ImageConfig = IMAGE,
+    with_labels: bool = False,
 ) -> bool:
-    """True when the cache exists, matches the source files' mtimes, and was
-    packed over the same image subset (``indices``; None = all images)."""
+    """True when the cache exists, matches the source files' mtimes, was
+    packed over the same image subset (``indices``; None = all images),
+    carries labels if the consumer needs them, and was packed at the same
+    image geometry (a stale cache must trigger a repack here, not a
+    KeyError/shape error deep in a run)."""
     if not os.path.exists(cache_path):
         return False
     try:
@@ -134,7 +143,21 @@ def cache_is_fresh(
                 f["packed/source_indices"][()]
                 if "source_indices" in f["packed"] else None
             )
+            has_labels = bool(
+                f["packed/with_labels"][()]
+                if "with_labels" in f["packed"]
+                else "label_base" in f["packed"]
+            )
+            shape = (
+                tuple(f["packed/image_shape"][()])
+                if "image_shape" in f["packed"]
+                else f["packed/images"].shape[1:]
+            )
     except Exception:
+        return False
+    if with_labels and not has_labels:
+        return False
+    if tuple(shape) != (image_config.seq_length, image_config.feature_dim):
         return False
     want = [os.path.abspath(p) for p in files]
     if srcs != want:

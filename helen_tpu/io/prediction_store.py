@@ -277,9 +277,12 @@ def read_region_chunks(
             if name in chunks:
                 g = chunks[name]
                 yield (
+                    # position must widen to int64 (uint32-wrapped padding
+                    # rows participate in sorting); bases/rles stay uint8 —
+                    # rle_decode consumes them at that width
                     np.asarray(g["position"][()], dtype=np.int64),
-                    np.asarray(g["bases"][()], dtype=np.int64),
-                    np.asarray(g["rles"][()], dtype=np.int64),
+                    np.asarray(g["bases"][()]),
+                    np.asarray(g["rles"][()]),
                 )
                 break
 

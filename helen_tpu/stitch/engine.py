@@ -102,9 +102,11 @@ def merge_region_chunks(
     """
     pos_list, base_list, rle_list = [], [], []
     for position, bases, rles in chunks:
+        # positions widen to int64 for the lexsort key; bases/rles stay at
+        # their native (uint8) width — rle_decode consumes them as uint8
         pos_list.append(np.asarray(position, dtype=np.int64))
-        base_list.append(np.asarray(bases, dtype=np.int64))
-        rle_list.append(np.asarray(rles, dtype=np.int64))
+        base_list.append(np.asarray(bases))
+        rle_list.append(np.asarray(rles))
     if not pos_list:
         return ""
     position = np.concatenate(pos_list, axis=0)
@@ -273,9 +275,9 @@ class Stitcher:
         self.threads = max(1, threads)
 
     def _join(self, results: List[Tuple[str, int, int, str]]) -> str:
-        results = sorted(results, key=lambda r: (r[1], r[2]))
         if not results:
             return ""
+        # alignment_stitch sorts its input by (start, end) itself
         return alignment_stitch(results, self.cfg)[3]
 
     def _plan(self, prediction_files: List[str], contigs: Sequence[str]):
@@ -319,7 +321,8 @@ class Stitcher:
                     [_stitch_key_group(contig, g, self.cfg) for g in groups]
                 )
             return
-        with ex:
+        done = False
+        try:
             futures = {
                 contig: [ex.submit(_stitch_key_group, contig, g, self.cfg)
                          for g in groups]
@@ -343,6 +346,12 @@ class Stitcher:
                 for g in failed_groups:
                     results.append(_stitch_key_group(contig, g, self.cfg))
                 yield contig, self._join(results)
+            done = True
+        finally:
+            # on abandonment (consumer error/GeneratorExit mid-iteration),
+            # drop the queued work for later contigs instead of blocking in
+            # shutdown(wait=True) until every doomed group finishes
+            ex.shutdown(wait=done, cancel_futures=not done)
 
     def stitch(self, prediction_files: List[str], contig: str) -> str:
         for _, sequence in self.stitch_iter(prediction_files, [contig]):

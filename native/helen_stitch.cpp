@@ -403,6 +403,15 @@ std::vector<uint32_t> banded_cigar(const int8_t* ref, const int8_t* read,
   const int8_t* dline =
       direction.data() + static_cast<size_t>(width_d) * i * 3;
   while (i > 0) {
+    // guard: j must lie inside row i's band or the direction index walks
+    // out of the row (even negative for long D runs) and reads garbage —
+    // reachable when the band-doubling stop condition (max >= score) was
+    // satisfied by a tie elsewhere in the band while the corner cell's
+    // own path needs a wider band. Bail to the caller's no-cigar fallback.
+    if (j < std::max(0, i - band_width) ||
+        j > std::min(ref_len - 1, i + band_width)) {
+      return {};
+    }
     int32_t idx = set_d(i, j, state);
     switch (dline[idx]) {
       case 1:
