@@ -44,23 +44,15 @@ class ConsensusStep:
         import jax
         import jax.numpy as jnp
 
-        from helen_tpu.models.transducer import consensus_labels
+        from helen_tpu.models.transducer import consensus_labels, resolve_backend
 
         devices = jax.local_devices()
         self.shard_multiple = len(devices) if data_parallel else 1
-        on_tpu = devices[0].platform in ("tpu", "axon")
-        if backend is None:
-            # the fused Pallas window kernel (fp32 parity path) on TPU;
-            # plain lax.scan elsewhere
-            backend = "pallas" if on_tpu else "xla"
-        elif backend in ("pallas", "pallas_fast") and not on_tpu:
-            # Mosaic kernels only lower for TPU; honor the speed/parity
-            # intent as far as the platform allows instead of failing at
-            # compile time (e.g. --fast under --platform cpu)
-            log.warning("backend %r needs a TPU; falling back to 'xla' on %s",
-                        backend, devices[0].platform)
-            backend = "xla"
-        self.backend = backend
+        # auto: the fused Pallas window kernel (fp32 parity path) on TPU,
+        # plain lax.scan elsewhere; explicit Pallas backends fall back to
+        # xla off TPU; non-inference backends (e.g. the DEFAULT-precision
+        # pallas_train kernel) are rejected — see resolve_backend
+        self.backend = backend = resolve_backend(backend, "infer", log)
 
         def fn(p, images_u8):
             images = images_u8.astype(jnp.float32)

@@ -191,3 +191,39 @@ def consensus_labels(
         jnp.argmax(base_probs, axis=-1).astype(jnp.uint8),
         jnp.argmax(rle_probs, axis=-1).astype(jnp.uint8),
     )
+
+
+INFER_BACKENDS = ("xla", "pallas", "pallas_fast")
+TRAIN_BACKENDS = ("xla", "pallas_train")
+
+
+def resolve_backend(requested, kind: str, log=None) -> str:
+    """Resolve a --backend value for one of the two recurrence surfaces.
+
+    ``kind`` is "infer" (consensus: xla / pallas / pallas_fast) or "train"
+    (TBPTT: xla / pallas_train). None or "auto" picks the fused Pallas
+    kernel on TPU and lax.scan elsewhere; an explicit Pallas backend off
+    TPU warns and falls back to xla (Mosaic kernels only lower for TPU);
+    a backend belonging to the other surface is a ValueError — e.g. the
+    DEFAULT-precision train kernel must never silently serve the fp32
+    parity inference path.
+    """
+    import jax
+
+    allowed = INFER_BACKENDS if kind == "infer" else TRAIN_BACKENDS
+    preferred = "pallas" if kind == "infer" else "pallas_train"
+    platform = jax.local_devices()[0].platform
+    on_tpu = platform in ("tpu", "axon")
+    if requested is None or requested == "auto":
+        return preferred if on_tpu else "xla"
+    if requested not in allowed:
+        raise ValueError(
+            f"backend {requested!r} is not a {kind} backend; expected one of "
+            f"{('auto',) + allowed}"
+        )
+    if requested != "xla" and not on_tpu:
+        if log is not None:
+            log.warning("backend %r needs a TPU; falling back to 'xla' on %s",
+                        requested, platform)
+        return "xla"
+    return requested

@@ -186,20 +186,18 @@ def make_train_step(tx, data_parallel: bool = False, precision=None,
     lax.scan path elsewhere."""
     import jax
 
-    on_tpu = jax.local_devices()[0].platform in ("tpu", "axon")
-    if backend == "auto":
+    from helen_tpu.models.transducer import resolve_backend
+
+    if backend == "auto" and precision is not None:
         # explicit precision means the caller wants specific matmul numerics;
         # the fused kernels run DEFAULT only, so honor the request via XLA
-        backend = "pallas_train" if on_tpu and precision is None else "xla"
-    elif backend == "pallas_train":
-        if not on_tpu:
-            log.warning("backend 'pallas_train' needs a TPU; falling back to "
-                        "'xla' on %s", jax.local_devices()[0].platform)
-            backend = "xla"
-        elif precision is not None:
-            log.warning("backend 'pallas_train' ignores precision=%s inside "
-                        "the fused kernels (DEFAULT matmul precision)",
-                        precision)
+        backend = "xla"
+    backend = resolve_backend(backend, "train", log)
+    if backend == "pallas_train" and precision is not None:
+        log.warning(
+            "backend 'pallas_train' ignores precision=%s for the GRU "
+            "recurrences AND their input projections (both run DEFAULT "
+            "matmul precision); only the head matmuls honor it", precision)
 
     if data_parallel and len(jax.local_devices()) > 1:
         from jax.sharding import Mesh, PartitionSpec as P

@@ -79,6 +79,53 @@ def test_train_kernel_grad_matches_scan_interpret(T, B, D):
         )
 
 
+def test_train_kernel_grad_multi_batch_block_interpret():
+    """B=512 splits into two Bt=256 grid blocks: pins the dW/db VMEM
+    accumulation across batch blocks (the (b==0)&(t==0) init vs accumulate
+    guards in _bwd_kernel) — unit batches never exercise it."""
+    params = jax.tree_util.tree_map(
+        jnp.asarray, bigru_init(jax.random.PRNGKey(5), 90, 128)
+    )
+    rng = np.random.default_rng(6)
+    T, B = 3, 512
+    x = jnp.asarray(rng.standard_normal((T, B, 90)), dtype=jnp.float32)
+    h0 = jnp.asarray(rng.standard_normal((B, 128)), dtype=jnp.float32)
+    w_out = jnp.asarray(rng.standard_normal((T, B, 256)), dtype=jnp.float32)
+
+    def loss(apply_fn, p):
+        out, hf, hb = apply_fn(p, x, h0, h0)
+        return (jnp.sum(out * w_out) + hf.sum() + hb.sum()) / (T * B)
+
+    ref_grads = jax.grad(lambda p: loss(bigru_apply, p))(params)
+    got_grads = jax.grad(
+        lambda p: loss(
+            lambda *a: bigru_apply_fused_train(*a, interpret=True), p
+        )
+    )(params)
+    for g_ref, g_got in zip(
+        jax.tree_util.tree_leaves(ref_grads), jax.tree_util.tree_leaves(got_grads)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_ref), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_resolve_backend_validation():
+    from helen_tpu.models.transducer import resolve_backend
+
+    # on CPU (conftest forces it) auto resolves to xla for both surfaces
+    assert resolve_backend(None, "infer") == "xla"
+    assert resolve_backend("auto", "train") == "xla"
+    # explicit Pallas backends fall back to xla off TPU
+    assert resolve_backend("pallas", "infer") == "xla"
+    assert resolve_backend("pallas_train", "train") == "xla"
+    # cross-surface backends are rejected, not silently run
+    with pytest.raises(ValueError):
+        resolve_backend("pallas_train", "infer")
+    with pytest.raises(ValueError):
+        resolve_backend("pallas", "train")
+
+
 def test_train_kernel_forward_matches_scan_interpret():
     params = jax.tree_util.tree_map(
         jnp.asarray, bigru_init(jax.random.PRNGKey(3), 90, 128)
