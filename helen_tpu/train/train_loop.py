@@ -199,7 +199,8 @@ def make_train_step(tx, data_parallel: bool = False, precision=None,
             "recurrences AND their input projections (both run DEFAULT "
             "matmul precision); only the head matmuls honor it", precision)
 
-    if data_parallel and len(jax.local_devices()) > 1:
+    n_procs = jax.process_count()
+    if data_parallel and (len(jax.local_devices()) > 1 or n_procs > 1):
         from jax.sharding import Mesh, PartitionSpec as P
 
         # shard_map, not a GSPMD-sharded jit: Mosaic kernels (the
@@ -207,7 +208,12 @@ def make_train_step(tx, data_parallel: bool = False, precision=None,
         # tpu_custom_call lowering raises NotImplementedError under a
         # sharded jit. The fn body psums denominators and gradients
         # (axis_name), so params/opt_state stay replica-identical.
-        devices = jax.local_devices()
+        # In a multi-process job the mesh spans EVERY process's devices, so
+        # the psum is the global DDP gradient reduction (reference
+        # train_distributed.py's role); each host feeds its slice of the
+        # global batch and the step converts host-local arrays to global
+        # jax.Arrays internally.
+        devices = jax.devices() if n_procs > 1 else jax.local_devices()
         mesh = Mesh(np.asarray(devices), ("data",))
         fn = build_tbptt_fn(tx, precision=precision, backend=backend,
                             axis_name="data")
@@ -220,7 +226,33 @@ def make_train_step(tx, data_parallel: bool = False, precision=None,
             check_vma=False,  # outputs are replicated via psum-ed grads
         )
         jfn = jax.jit(sfn, donate_argnums=(0, 1))
-        return jfn, len(devices)
+        if n_procs == 1:
+            return jfn, len(devices)
+
+        from jax.experimental import multihost_utils
+
+        n_global = len(devices)
+
+        def to_global(x, spec):
+            # step outputs are already global jax.Arrays — convert only
+            # host-local inputs (numpy batches; params on the first call)
+            def conv(a):
+                if (isinstance(a, jax.Array)
+                        and len(a.sharding.device_set) == n_global):
+                    return a
+                return multihost_utils.host_local_array_to_global_array(
+                    np.asarray(a), mesh, spec
+                )
+            return jax.tree_util.tree_map(conv, x)
+
+        def step(params, opt_state, lr, images, yb, yr, valid):
+            return jfn(
+                to_global(params, rep), to_global(opt_state, rep), lr,
+                to_global(images, shard), to_global(yb, shard),
+                to_global(yr, shard), valid,
+            )
+
+        return step, n_global
     fn = build_tbptt_fn(tx, precision=precision, backend=backend)
     return jax.jit(fn, donate_argnums=(0, 1)), 1
 
@@ -235,7 +267,15 @@ class EpochStats:
 
 
 class Trainer:
-    """Single-host trainer (all local devices via batch sharding)."""
+    """Trainer over all devices of the job: local chips via batch sharding;
+    in a multi-process job (jax.distributed initialized, e.g. CLI
+    --distributed) the step spans the GLOBAL mesh — the reference's
+    train_distributed.py role, with the gloo DDP all-reduce replaced by an
+    in-step psum over ICI. Each host feeds its slice of every global batch
+    (DistributedSampler-style wrap-padded permutation, so all hosts run the
+    same number of full batches in lockstep); rank 0 writes checkpoints and
+    CSVs; every host evaluates the identical test set so the LR-plateau
+    scheduler stays replica-identical without a broadcast."""
 
     def __init__(
         self,
@@ -296,15 +336,22 @@ class Trainer:
             self.params = init_params(jax.random.PRNGKey(cfg.seed), MODEL)
             self.opt_state = self.tx.init(self.params)
         log.info("model parameters: %d", num_params(self.params))
+        self.n_procs = jax.process_count()
+        self.pid = jax.process_index()
         self.step_fn, self.shard_multiple = make_train_step(
             self.tx, data_parallel, precision, backend=backend
         )
+        # eff_batch is the GLOBAL batch (cfg.batch_size rounded up to the
+        # job's device count); each host feeds eff_local rows of it
         self.eff_batch = -(-cfg.batch_size // self.shard_multiple) * self.shard_multiple
+        self.eff_local = self.eff_batch // self.n_procs
         self.dataset = MarginPolishDataset(self.train_files, IMAGE, with_labels=True)
         if len(self.dataset) == 0:
             raise ValueError("no labeled training images found")
-        log.info("training on %d images, evaluating on %d files",
-                 len(self.dataset), len(self.test_files))
+        if self.pid == 0:
+            log.info("training on %d images, evaluating on %d files%s",
+                     len(self.dataset), len(self.test_files),
+                     f" across {self.n_procs} hosts" if self.n_procs > 1 else "")
 
     def _epoch_indices(self, epoch: int) -> list:
         """Deterministic per-epoch shuffle (seed + epoch), so a mid-epoch
@@ -327,10 +374,28 @@ class Trainer:
             opt_state=self.opt_state,
         )
 
+    def _host_indices(self, indices: list) -> tuple:
+        """This host's slice of the epoch: for multi-process jobs the
+        permutation is wrap-padded to a multiple of the global batch
+        (exactly torch DistributedSampler's duplication semantics, which
+        the reference relies on, train_distributed.py:74-86) and host p
+        takes rows [p*eff_local, (p+1)*eff_local) of every global batch —
+        all hosts run the same count of FULL batches, keeping the psum
+        collectives in lockstep. Returns (host_index_list, iter_batch)."""
+        if self.n_procs == 1:
+            return indices, self.eff_batch
+        pad = (-len(indices)) % self.eff_batch
+        indices = indices + indices[:pad]
+        local = []
+        for b in range(0, len(indices), self.eff_batch):
+            s = b + self.pid * self.eff_local
+            local.extend(indices[s : s + self.eff_local])
+        return local, self.eff_local
+
     def train_one_epoch(self, epoch: int, skip_batches: int = 0) -> float:
         import jax.numpy as jnp
 
-        indices = self._epoch_indices(epoch)
+        indices, iter_batch = self._host_indices(self._epoch_indices(epoch))
         total_loss = 0.0
         total_images = 0
         n_windows = WINDOW.num_windows(IMAGE.seq_length)
@@ -338,38 +403,46 @@ class Trainer:
         tp.start()
         csv_path = os.path.join(self.stats_dir, "train_loss.csv")
         if skip_batches:
-            indices = indices[skip_batches * self.eff_batch :]
+            indices = indices[skip_batches * iter_batch :]
             log.info("mid-epoch resume: skipping %d already-trained batches",
                      skip_batches)
-        with open(csv_path, "a", newline="") as f:
+        rank0 = self.pid == 0
+        with open(csv_path if rank0 else os.devnull, "a", newline="") as f:
             writer = csv.writer(f)
             for bi, batch in enumerate(
                 batched_image_iterator(
-                    self.dataset, self.eff_batch, self.num_workers,
+                    self.dataset, iter_batch, self.num_workers,
                     indices=indices, pad_final=True,
                 ),
                 start=skip_batches,
             ):
+                # multi-host batches are always full (wrap padding), so the
+                # global valid count is exact; single-host keeps the masked
+                # tail batch
+                valid = batch.valid * self.n_procs
                 self.params, self.opt_state, tot, tot_b, tot_r = self.step_fn(
                     self.params, self.opt_state, jnp.float32(self.scheduler.lr),
                     batch.images, batch.labels_base.astype(np.int32),
-                    batch.labels_rle.astype(np.int32), batch.valid,
+                    batch.labels_rle.astype(np.int32), valid,
                 )
                 tot = float(tot)
                 total_loss += tot
-                total_images += batch.valid * n_windows
-                tp.add(batch.valid * n_windows)
+                total_images += valid * n_windows
+                tp.add(valid * n_windows)
                 avg = total_loss / max(1, total_images)
-                writer.writerow([epoch + 1, bi + 1, avg])
-                if (bi + 1) % self.checkpoint_every_batches == 0:
+                if rank0:
+                    writer.writerow([epoch + 1, bi + 1, avg])
+                if (bi + 1) % self.checkpoint_every_batches == 0 and rank0:
                     self._save_latest(epoch, bi + 1)
-                if bi % 20 == 0:
+                if bi % 20 == 0 and rank0:
                     log.info("epoch %d batch %d: avg loss %.6f | %s",
                              epoch + 1, bi + 1, avg, tp)
         tp.stop()
         return total_loss / max(1, total_images)
 
     def run(self, epochs: int) -> List[EpochStats]:
+        import jax
+
         history: List[EpochStats] = []
         end_epoch = self.start_epoch + epochs
         test_csv = os.path.join(self.stats_dir, "test_loss.csv")
@@ -378,29 +451,40 @@ class Trainer:
             t0 = time.time()
             skip = self.start_batch if epoch == self.start_epoch else 0
             train_loss = self.train_one_epoch(epoch, skip_batches=skip)
+            # every host evaluates the identical test set with identical
+            # (replicated) params, so each reaches the same loss and the
+            # plateau scheduler advances identically — no broadcast needed.
+            # Params come off the global mesh as replicated jax.Arrays; the
+            # host-local eval jit needs addressable inputs, so materialize
+            # the local copy.
+            eval_params = (
+                jax.tree_util.tree_map(np.asarray, self.params)
+                if self.n_procs > 1 else self.params
+            )
             stats = evaluate(
-                self.params, self.test_files, self.cfg.batch_size,
+                eval_params, self.test_files, self.cfg.batch_size,
                 self.num_workers, self.precision,
             )
             self.scheduler.step(stats["loss"])
             ckpt = os.path.join(
                 self.model_dir, f"HELEN_epoch_{epoch + 1}_checkpoint.npz"
             )
-            save_checkpoint(
-                ckpt, self.params,
-                meta={
-                    "epochs": epoch + 1,
-                    "hidden_size": MODEL.hidden_size,
-                    "gru_layers": MODEL.gru_layers,
-                    "scheduler": self.scheduler.state_dict(),
-                },
-                opt_state=self.opt_state,
-            )
-            self._save_latest(epoch + 1, 0)
-            with open(test_csv, "a", newline="") as f:
-                csv.writer(f).writerow([epoch + 1, stats["loss"], stats["base_accuracy"]])
-            with open(cm_log, "a") as f:
-                f.write(f"{epoch + 1}\n{stats['base_confusion_matrix'].astype(np.int64)}\n")
+            if self.pid == 0:
+                save_checkpoint(
+                    ckpt, self.params,
+                    meta={
+                        "epochs": epoch + 1,
+                        "hidden_size": MODEL.hidden_size,
+                        "gru_layers": MODEL.gru_layers,
+                        "scheduler": self.scheduler.state_dict(),
+                    },
+                    opt_state=self.opt_state,
+                )
+                self._save_latest(epoch + 1, 0)
+                with open(test_csv, "a", newline="") as f:
+                    csv.writer(f).writerow([epoch + 1, stats["loss"], stats["base_accuracy"]])
+                with open(cm_log, "a") as f:
+                    f.write(f"{epoch + 1}\n{stats['base_confusion_matrix'].astype(np.int64)}\n")
             log.info(
                 "epoch %d done in %.1fs: train loss %.6f | test loss %.6f | "
                 "base acc %.2f%% | rle acc %.2f%% | saved %s",
@@ -435,7 +519,20 @@ def train_interface(
         TRAIN, batch_size=batch_size, learning_rate=learning_rate,
         weight_decay=weight_decay, seed=seed,
     )
-    run_dir = timestamped_dir(output_dir, "trained_models")
+    import jax
+
+    if jax.process_count() > 1:
+        # rank 0 picks the timestamped name and broadcasts it, so a shared
+        # output_dir gets ONE run directory even across a second boundary
+        from helen_tpu.parallel import multihost
+
+        run_dir = ""
+        if jax.process_index() == 0:
+            run_dir = timestamped_dir(output_dir, "trained_models")
+        run_dir = multihost.broadcast_name(run_dir)
+        os.makedirs(run_dir, exist_ok=True)
+    else:
+        run_dir = timestamped_dir(output_dir, "trained_models")
     trainer = Trainer(
         train_files=list_image_files(train_dir),
         test_files=list_image_files(test_dir),

@@ -65,13 +65,50 @@ def main() -> int:
     assert np.isfinite(loss_val)
     multihost.barrier("trained")
 
+    if workdir and os.path.isdir(os.path.join(workdir, "train_images")):
+        # full distributed Trainer epoch (global-mesh shard_map step, wrap-
+        # padded host-sliced batches, rank-0 checkpointing) must land on the
+        # same params as the single-process golden run the parent test did
+        import dataclasses as _dc
+
+        from helen_tpu.config import TRAIN
+        from helen_tpu.train.train_loop import Trainer
+        from helen_tpu.utils.filesystem import list_image_files
+
+        cfg = _dc.replace(TRAIN, batch_size=8, learning_rate=1e-3, seed=7)
+        trainer = Trainer(
+            train_files=list_image_files(os.path.join(workdir, "train_images")),
+            test_files=list_image_files(os.path.join(workdir, "train_images")),
+            cfg=cfg,
+            model_dir=os.path.join(workdir, "train_out", "models"),
+            stats_dir=os.path.join(workdir, "train_out", "stats"),
+            num_workers=2,
+        )
+        assert trainer.n_procs == 2 and trainer.eff_local * 2 == trainer.eff_batch
+        trainer.run(1)
+        golden = dict(np.load(os.path.join(workdir, "golden_params.npz")))
+        import jax as _jax
+
+        flat = {}
+        def _flatten(prefix, tree):
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    _flatten(f"{prefix}{k}/", v)
+                else:
+                    flat[f"{prefix}{k}"] = np.asarray(v)
+        _flatten("", trainer.params)
+        assert set(flat) == set(golden), (set(flat) ^ set(golden))
+        for k in flat:
+            np.testing.assert_allclose(flat[k], golden[k], rtol=2e-4, atol=2e-5,
+                                       err_msg=k)
+        multihost.barrier("trainer_parity")
+
     if workdir:
         # full multi-host polish pipeline through the coordinated driver:
         # process 0 picks + broadcasts the predictions dir, every host
         # writes its image-shard predictions there, barrier, process 0
         # stitches (regions' chunks interleave across both shards)
         import glob
-        import os
 
         from helen_tpu.infer.polish import polish
         from helen_tpu.io.fasta import read_fasta

@@ -43,6 +43,45 @@ def test_two_process_distributed_job(tmp_path):
         str(tmp_path / "model.pkl"),
     )
 
+    # distributed-Trainer leg: 16 one-image contigs (divisible by the global
+    # batch of 8, so single-host masked-tail and multi-host wrap padding are
+    # both no-ops) + a single-process golden run to compare against
+    import dataclasses as _dc
+
+    import numpy as np
+
+    from helen_tpu.config import TRAIN
+    from helen_tpu.train.train_loop import Trainer
+    from helen_tpu.utils.filesystem import list_image_files
+
+    train_images = tmp_path / "train_images"
+    train_images.mkdir()
+    contigs = {f"t{i}": random_sequence(600, seed=10 + i) for i in range(16)}
+    write_image_file(str(train_images / "train.h5"), contigs,
+                     region_cols=900, overlap_cols=60, noise=0.1)
+    cfg = _dc.replace(TRAIN, batch_size=8, learning_rate=1e-3, seed=7)
+    golden = Trainer(
+        train_files=list_image_files(str(train_images)),
+        test_files=list_image_files(str(train_images)),
+        cfg=cfg,
+        model_dir=str(tmp_path / "golden_out" / "models"),
+        stats_dir=str(tmp_path / "golden_out" / "stats"),
+        num_workers=2,
+    )
+    assert len(golden.dataset) == 16 and golden.eff_batch == 8
+    golden.run(1)
+    flat = {}
+
+    def _flatten(prefix, tree):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                _flatten(f"{prefix}{k}/", v)
+            else:
+                flat[f"{prefix}{k}"] = np.asarray(v)
+
+    _flatten("", golden.params)
+    np.savez(str(tmp_path / "golden_params.npz"), **flat)
+
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     env = dict(os.environ)
