@@ -49,7 +49,13 @@ def _configure() -> None:
     handler.setFormatter(_Formatter(use_color))
     root = logging.getLogger("helen_tpu")
     root.addHandler(handler)
-    root.setLevel(os.environ.get("HELEN_TPU_LOG_LEVEL", "INFO").upper())
+    level = os.environ.get("HELEN_TPU_LOG_LEVEL", "INFO").upper()
+    try:
+        root.setLevel(level)
+    except ValueError:
+        # a bad env value must not crash every CLI at import time
+        root.setLevel(logging.INFO)
+        root.warning("unknown HELEN_TPU_LOG_LEVEL=%r; using INFO", level)
     root.propagate = False
     _configured = True
 

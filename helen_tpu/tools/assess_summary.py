@@ -16,21 +16,30 @@ _PATTERNS = {
     "iden": re.compile(r"iden\s+([0-9.eE+-]+)"),
     "del": re.compile(r"\bdel\s+([0-9.eE+-]+)"),
     "ins": re.compile(r"\bins\s+([0-9.eE+-]+)"),
-    "Qscore": re.compile(r"Q(?:score)?[:\s]+([0-9.]+)"),
 }
 
 
 def parse_summary(path: str) -> Dict[str, float]:
     text = open(path).read()
+    # pomoxis prints two sections that REUSE metric names: "# Percentage
+    # Errors" (err_ont as a percent, e.g. 0.209%) then "# Q Scores" (err_ont
+    # as a Q value). Split at the Q-Scores header so the same regexes read
+    # the right section.
+    parts = re.split(r"#\s*Q[ _]?Scores", text, flags=re.IGNORECASE)
     out = {}
     for key, pat in _PATTERNS.items():
-        m = pat.search(text)
+        m = pat.search(parts[0])
         if m:
             out[key] = float(m.group(1))
-    if "Qscore" not in out and "err_ont" in out and out["err_ont"] > 0:
+    if len(parts) > 1:
+        m = _PATTERNS["err_ont"].search(parts[1])
+        if m:
+            out["Qscore"] = float(m.group(1))
+    if "Qscore" not in out and out.get("err_ont", 0) > 0:
         import math
 
-        out["Qscore"] = -10.0 * math.log10(out["err_ont"])
+        # err_ont is a PERCENTAGE in the summary
+        out["Qscore"] = -10.0 * math.log10(out["err_ont"] / 100.0)
     return out
 
 

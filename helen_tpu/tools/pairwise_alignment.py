@@ -41,16 +41,35 @@ def align_pair(seq_a: str, seq_b: str, cfg=STITCH) -> Alignment:
     return alignment
 
 
+def anchored_align(
+    seq_a: str, seq_b: str, k: int = STITCH.kmer_size, pad: int = 500, cfg=STITCH
+):
+    """Seed with the first shared k-mer and align only a +/-``pad`` window of
+    seq_a around it (the documented anchored behavior): returns
+    (seed, window_start, alignment) with alignment coordinates relative to
+    the window. Falls back to a full-sequence alignment when no k-mer is
+    shared (seed None, window_start 0)."""
+    seed = seed_match(seq_a, seq_b, k)
+    if seed is None:
+        return None, 0, align_pair(seq_a, seq_b, cfg)
+    pos_a, pos_b = seed
+    start = max(0, pos_a - pos_b - pad)
+    end = min(len(seq_a), pos_a - pos_b + len(seq_b) + pad)
+    return seed, start, align_pair(seq_a[start:end], seq_b, cfg)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="k-mer-seeded SSW alignment of two sequences")
     ap.add_argument("seq_a")
     ap.add_argument("seq_b")
     ap.add_argument("-k", "--kmer", type=int, default=STITCH.kmer_size)
+    ap.add_argument("--pad", type=int, default=500,
+                    help="window padding around the seeded anchor")
     args = ap.parse_args(argv)
-    seed = seed_match(args.seq_a, args.seq_b, args.kmer)
-    print(f"seed k-mer match: {seed}")
-    al = align_pair(args.seq_a, args.seq_b)
-    print(f"score={al.best_score} ref=[{al.reference_begin},{al.reference_end}] "
+    seed, start, al = anchored_align(args.seq_a, args.seq_b, args.kmer, args.pad)
+    print(f"seed k-mer match: {seed} (window start {start})")
+    print(f"score={al.best_score} "
+          f"ref=[{start + al.reference_begin},{start + al.reference_end}] "
           f"query=[{al.query_begin},{al.query_end}] cigar={al.cigar_string}")
     return 0
 

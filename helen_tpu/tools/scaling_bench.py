@@ -51,7 +51,9 @@ def measure(
     if device_counts is None:
         device_counts = sorted({1, *[2 ** i for i in range(1, 6)
                                      if 2 ** i <= len(devices)]})
-    device_counts = [k for k in device_counts if k <= len(devices)]
+    # ascending, so the efficiency baseline is the SMALLEST measured count
+    # (ideally 1); report which count the baseline used
+    device_counts = sorted(k for k in device_counts if k <= len(devices))
     if backend is None:
         backend = "pallas" if devices[0].platform in ("tpu", "axon") else "xla"
 
@@ -104,11 +106,15 @@ def measure(
         wps = steps * B * n_windows / dt
         if base is None:
             base = wps / k
+            base_devices = k
         row = {
             "devices": k,
             "windows_per_s": round(wps, 1),
             "per_device": round(wps / k, 1),
+            # relative to the smallest measured count (1 when included) —
+            # counts are sorted ascending above
             "efficiency": round((wps / k) / base, 4),
+            "baseline_devices": base_devices,
             "backend": backend,
         }
         results.append(row)

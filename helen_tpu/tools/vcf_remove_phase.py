@@ -36,9 +36,13 @@ def process_line(line: str) -> str:
     for s in range(9, len(cols)):
         fields = cols[s].split(":")
         fields = [fields[i] for i in keep if i < len(fields)]
-        if gt_idx is not None and gt_idx < len(fields):
+        if gt_idx is not None:
+            # compare GT's POST-filter position against the filtered list —
+            # the pre-filter index is wrong whenever a stripped key (PS)
+            # precedes GT
             new_gt_pos = keep.index(gt_idx)
-            fields[new_gt_pos] = unphase_gt(fields[new_gt_pos])
+            if new_gt_pos < len(fields):
+                fields[new_gt_pos] = unphase_gt(fields[new_gt_pos])
         cols[s] = ":".join(fields)
     return "\t".join(cols) + "\n"
 

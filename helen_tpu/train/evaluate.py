@@ -36,31 +36,45 @@ def _jitted_eval(precision):
     from jax import lax
 
     from helen_tpu.models.transducer import forward, init_hidden
-    from helen_tpu.train.loss import cross_entropy, weighted_cross_entropy
+    from helen_tpu.train.loss import (
+        masked_cross_entropy,
+        masked_weighted_cross_entropy,
+    )
 
     W = WINDOW.window
     starts = jnp.asarray(WINDOW.starts(IMAGE.seq_length), dtype=jnp.int32)
     nb, nr = MODEL.num_base_classes, MODEL.num_rle_classes
     rle_w = jnp.asarray(TRAIN.rle_class_weights, dtype=jnp.float32)
 
-    def fn(p, images_u8, label_base, label_rle):
+    def fn(p, images_u8, label_base, label_rle, col_mask, valid):
         B, L, F = images_u8.shape
         images = images_u8.astype(jnp.float32)
         hidden = init_hidden(B, MODEL)
         cm_base = jnp.zeros((nb, nb), dtype=jnp.float32)
         cm_rle = jnp.zeros((nr, nr), dtype=jnp.float32)
+        # loss over real ROWS only (batches are padded to a static shape;
+        # per-window means over valid rows = the reference's per-window
+        # means over its unpadded batch, test.py:124-125); confusion
+        # matrices additionally exclude padded COLUMNS of short images —
+        # position (-1,-1,-1) rows the debug renderer also masks (the
+        # reference counts them into its ConfusionMeter, inflating the
+        # class-0 diagonal; a documented quality fix, not a parity break)
+        row_mask = (jnp.arange(B) < valid).astype(jnp.float32)
 
         def body(carry, start):
             hidden, loss_sum, cm_base, cm_rle = carry
             x = lax.dynamic_slice(images, (0, start, 0), (B, W, F))
             yb = lax.dynamic_slice(label_base, (0, start), (B, W))
             yr = lax.dynamic_slice(label_rle, (0, start), (B, W))
+            cmask = lax.dynamic_slice(col_mask, (0, start), (B, W))
             base, rle, hidden = forward(p, x, hidden, precision=precision)
-            loss = cross_entropy(base, yb) + weighted_cross_entropy(rle, yr, rle_w)
+            loss = (masked_cross_entropy(base, yb, row_mask)
+                    + masked_weighted_cross_entropy(rle, yr, rle_w, row_mask))
             pb = jnp.argmax(base, axis=-1).reshape(-1)
             pr = jnp.argmax(rle, axis=-1).reshape(-1)
-            cm_base = cm_base.at[yb.reshape(-1), pb].add(1.0)
-            cm_rle = cm_rle.at[yr.reshape(-1), pr].add(1.0)
+            w = cmask.reshape(-1)
+            cm_base = cm_base.at[yb.reshape(-1), pb].add(w)
+            cm_rle = cm_rle.at[yr.reshape(-1), pr].add(w)
             return (hidden, loss_sum + loss, cm_base, cm_rle), None
 
         (hidden, loss_sum, cm_base, cm_rle), _ = lax.scan(
@@ -84,8 +98,10 @@ def make_eval_step(params, precision=None):
         precision = jax.lax.Precision.HIGH
     jfn = _jitted_eval(precision)
 
-    def step(images_u8, label_base, label_rle):
-        loss_sum, cm_base, cm_rle = jfn(params, images_u8, label_base, label_rle)
+    def step(images_u8, label_base, label_rle, col_mask, valid):
+        loss_sum, cm_base, cm_rle = jfn(
+            params, images_u8, label_base, label_rle, col_mask, valid
+        )
         return float(loss_sum), np.asarray(cm_base), np.asarray(cm_rle)
 
     return step
@@ -113,10 +129,18 @@ def evaluate(
     total_images = 0
     cm_base = np.zeros((MODEL.num_base_classes, MODEL.num_base_classes))
     cm_rle = np.zeros((MODEL.num_rle_classes, MODEL.num_rle_classes))
+    # pad_final=True: ONE static batch shape (a ragged tail batch would
+    # trigger a second multi-minute remote TPU compile); padded rows are
+    # masked out of loss and confusion matrices inside the jitted step
     for batch in batched_image_iterator(
-        dataset, batch_size, num_workers, pad_final=False
+        dataset, batch_size, num_workers, pad_final=True
     ):
-        loss_sum, cb, cr = step(batch.images, batch.labels_base, batch.labels_rle)
+        B, L = batch.images.shape[:2]
+        col_mask = np.zeros((B, L), dtype=np.float32)
+        for i, rec in enumerate(batch.records):  # records cover real rows only
+            col_mask[i] = rec.position[:, 0] >= 0
+        loss_sum, cb, cr = step(batch.images, batch.labels_base,
+                                batch.labels_rle, col_mask, batch.valid)
         # reference accounting: loss summed per window, normalized by
         # images-per-window counts (test.py:124-125,154)
         total_loss += loss_sum

@@ -62,7 +62,15 @@ class Hyperband:
         self.max_epochs = max_epochs
         self.eta = eta
         self.rng = np.random.default_rng(seed)
-        self.s_max = int(math.log(max_epochs) / math.log(eta))
+        if eta < 2:
+            raise ValueError(f"eta must be >= 2, got {eta}")
+        # largest s with eta**s <= max_epochs, by integer multiplication —
+        # float log ratios land just below integers (log(243)/log(3) =
+        # 4.999...) and int() would drop the most exploratory bracket
+        s_max = 0
+        while eta ** (s_max + 1) <= max_epochs:
+            s_max += 1
+        self.s_max = s_max
         self.B = (self.s_max + 1) * max_epochs
         self.results: List[TrialResult] = []
 
@@ -79,12 +87,11 @@ class Hyperband:
                 n_i = int(n * self.eta ** (-i))
                 r_i = max(1, int(round(r * self.eta ** i)))
                 scored = []
-                for cfg, state, done, last_loss in trials[:n_i]:
+                for cfg, state, done, _ in trials[:n_i]:
+                    # add > 0 always: eta >= 2 and r >= 1 make the rung
+                    # budgets r_i strictly increasing
                     add = r_i - done
-                    if add > 0:
-                        loss, state = self.run_trial(cfg, add, state)
-                    else:  # rounding made this rung's budget <= already trained
-                        loss = last_loss
+                    loss, state = self.run_trial(cfg, add, state)
                     scored.append((loss, cfg, state, r_i))
                     self.results.append(TrialResult(cfg, loss, r_i))
                     log.info("  cfg lr=%.2e decay=%.2e epochs=%d (+%d) -> loss %.6f",
@@ -93,8 +100,6 @@ class Hyperband:
                 scored.sort(key=lambda t: t[0])
                 keep = max(1, int(n_i / self.eta))
                 trials = [(cfg, st, ep, ls) for ls, cfg, st, ep in scored[:keep]]
-                if i == s and scored:
-                    break
         best = min(self.results, key=lambda t: t.loss)
         log.info("best: lr=%.2e decay=%.2e (loss %.6f)",
                  best.params["learning_rate"], best.params["weight_decay"], best.loss)

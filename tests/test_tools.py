@@ -63,11 +63,28 @@ def test_quast_sv_extractor(tmp_path, capsys):
 
 
 def test_assess_summary(tmp_path, capsys):
+    # pomoxis layout: a Percentage-Errors section (values are PERCENT) and
+    # a Q-Scores section that REUSES the metric names
     s = tmp_path / "summary.txt"
-    s.write_text("name    err_ont 0.001  err_bal 0.0012  iden 0.999\n")
+    s.write_text(
+        "#  Percentage Errors\n"
+        "  name    mean\n"
+        "  err_ont 0.100%\n  err_bal 0.120%\n  iden 0.999\n"
+        "#  Q Scores\n"
+        "  name    mean\n"
+        "  err_ont 30.00\n  err_bal 29.21\n"
+    )
+    stats = assess_summary.parse_summary(str(s))
+    assert stats["err_ont"] == 0.1 and stats["Qscore"] == 30.0
     assert assess_summary.main([str(s)]) == 0
     out = capsys.readouterr().out
-    assert "30" in out  # Q30 derived from err_ont 1e-3
+    assert "30" in out
+
+    # no Q-Scores section: Qscore derived from the PERCENTAGE err_ont
+    s2 = tmp_path / "summary2.txt"
+    s2.write_text("name    err_ont 0.1  err_bal 0.12  iden 0.999\n")
+    stats2 = assess_summary.parse_summary(str(s2))
+    assert abs(stats2["Qscore"] - 30.0) < 1e-6  # -10*log10(0.1/100)
 
 
 def test_vcf_remove_phase(tmp_path):
@@ -77,12 +94,14 @@ def test_vcf_remove_phase(tmp_path):
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
         "chr1\t10\t.\tA\tT\t30\tPASS\t.\tGT:PS:DP\t1|0:12345:30\n"
         "chr1\t20\t.\tC\tG\t30\tPASS\t.\tGT:DP\t0/1:22\n"
+        "chr1\t30\t.\tG\tC\t30\tPASS\t.\tPS:GT\tp1:1|0\n"
     )
     out = tmp_path / "out.vcf"
     assert vcf_remove_phase.main(["-i", str(vcf), "-o", str(out)]) == 0
     lines = out.read_text().splitlines()
     assert lines[2].endswith("GT:DP\t0/1:30")  # phased 1|0 -> 0/1, PS dropped
     assert lines[3].endswith("GT:DP\t0/1:22")  # untouched
+    assert lines[4].endswith("\tGT\t0/1")  # PS BEFORE GT: still unphased
 
 
 def test_pairwise_alignment(capsys):
