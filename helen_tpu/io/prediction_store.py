@@ -191,6 +191,15 @@ class PredictionStore:
         one key, dedupe to a single entry, and sort to the region tail —
         byte-identical output requires replaying this, so do NOT "fix" the
         dtype here without changing the parity contract."""
+        if "/" in contig:
+            # '/' is the HDF5 group separator: such a name would silently
+            # nest extra groups, splitting the contig across bogus names at
+            # stitch (the reference corrupts its store the same way). Fail
+            # loudly instead — these names are invalid in the image pipeline.
+            raise ValueError(
+                f"contig name {contig!r} contains '/', which is not "
+                "representable in the prediction-store HDF5 layout"
+            )
         region = f"{contig}-{contig_start}-{contig_end}"
         base_path = f"{PRED_ROOT}/{contig}/{region}"
         if region not in self._regions:

@@ -105,6 +105,18 @@ def test_prediction_store_roundtrip(tmp_path):
     assert list(rles) == [1, 1, 2, 1, 3]
 
 
+def test_prediction_store_rejects_slash_contig(tmp_path):
+    # '/' is the HDF5 group separator; writing such a contig would silently
+    # nest groups and split the contig across bogus names at stitch
+    path = str(tmp_path / "pred_0.hdf")
+    pos = np.zeros((2, 3), dtype=np.int64)
+    with PredictionStore(path) as store:
+        with pytest.raises(ValueError, match="contains '/'"):
+            store.write_prediction(
+                "ctg/alt", 0, 10, 0, pos, np.array([1, 1]), np.array([1, 1])
+            )
+
+
 def test_prediction_store_resume(tmp_path):
     path = str(tmp_path / "pred_0.hdf")
     pos = np.zeros((2, 3), dtype=np.int64)
