@@ -99,6 +99,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "xla", "pallas_train"],
                    help="recurrence backend: auto picks the fused Pallas "
                         "train kernels on TPU, lax.scan elsewhere")
+    p.add_argument("--hidden_size", type=int, default=128,
+                   help="GRU hidden size for a FRESH model (retraining "
+                        "follows the checkpoint's geometry)")
+    p.add_argument("--gru_layers", type=int, default=1,
+                   help="stacked GRU layers per encoder/decoder for a "
+                        "FRESH model")
 
     p = sub.add_parser("test", help="evaluate a model on labeled images")
     p.add_argument("--test_image_dir", required=True)
@@ -258,6 +264,8 @@ def main(argv=None) -> int:
             weight_decay=args.decay,
             seed=args.seed,
             backend=args.backend,
+            hidden_size=args.hidden_size,
+            gru_layers=args.gru_layers,
         )
         return 0
 

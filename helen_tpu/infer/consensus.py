@@ -52,7 +52,8 @@ class ConsensusStep:
         # plain lax.scan elsewhere; explicit Pallas backends fall back to
         # xla off TPU; non-inference backends (e.g. the DEFAULT-precision
         # pallas_train kernel) are rejected — see resolve_backend
-        self.backend = backend = resolve_backend(backend, "infer", log)
+        self.backend = backend = resolve_backend(backend, "infer", log,
+                                                 params=params)
 
         def fn(p, images_u8):
             images = images_u8.astype(jnp.float32)

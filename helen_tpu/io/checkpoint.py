@@ -131,20 +131,35 @@ def _strip_ddp(state_dict: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def params_from_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
-    """Convert a reference TransducerGRU state dict into helen_tpu params."""
+    """Convert a reference TransducerGRU state dict into helen_tpu params.
+
+    Handles any gru_layers the reference supports (torch nn.GRU names deeper
+    layers ``weight_ih_l<k>[_reverse]``); layer 0 lands in the stack's
+    {"fwd", "bwd"} keys, layer k >= 1 under "l<k>" (models.transducer
+    init_params layout)."""
     sd = {k: np.asarray(v, dtype=np.float32) for k, v in _strip_ddp(state_dict).items()}
     params: Dict[str, Any] = {}
     for torch_name, ours in _GRU_MAP.items():
-        layer: Dict[str, Any] = {}
-        for direction, suffix in (("fwd", ""), ("bwd", "_reverse")):
-            layer[direction] = {
+
+        def dir_params(k: int, suffix: str) -> Dict[str, Any]:
+            return {
                 # torch stores (3H, D); we right-multiply so transpose
-                "w_ih": sd[f"{torch_name}.weight_ih_l0{suffix}"].T.copy(),
-                "w_hh": sd[f"{torch_name}.weight_hh_l0{suffix}"].T.copy(),
-                "b_ih": sd[f"{torch_name}.bias_ih_l0{suffix}"].copy(),
-                "b_hh": sd[f"{torch_name}.bias_hh_l0{suffix}"].copy(),
+                "w_ih": sd[f"{torch_name}.weight_ih_l{k}{suffix}"].T.copy(),
+                "w_hh": sd[f"{torch_name}.weight_hh_l{k}{suffix}"].T.copy(),
+                "b_ih": sd[f"{torch_name}.bias_ih_l{k}{suffix}"].copy(),
+                "b_hh": sd[f"{torch_name}.bias_hh_l{k}{suffix}"].copy(),
             }
-        params[ours] = layer
+
+        stack: Dict[str, Any] = {
+            "fwd": dir_params(0, ""), "bwd": dir_params(0, "_reverse")
+        }
+        k = 1
+        while f"{torch_name}.weight_ih_l{k}" in sd:
+            stack[f"l{k}"] = {
+                "fwd": dir_params(k, ""), "bwd": dir_params(k, "_reverse")
+            }
+            k += 1
+        params[ours] = stack
     for torch_name, ours in _HEAD_MAP.items():
         params[ours] = {
             "w": sd[f"{torch_name}.weight"].T.copy(),
@@ -160,12 +175,17 @@ def export_torch_state_dict(params: Any) -> Dict[str, np.ndarray]:
     p = jax.device_get(params)
     sd: Dict[str, np.ndarray] = {}
     for torch_name, ours in _GRU_MAP.items():
-        for direction, suffix in (("fwd", ""), ("bwd", "_reverse")):
-            d = p[ours][direction]
-            sd[f"{torch_name}.weight_ih_l0{suffix}"] = np.asarray(d["w_ih"]).T.copy()
-            sd[f"{torch_name}.weight_hh_l0{suffix}"] = np.asarray(d["w_hh"]).T.copy()
-            sd[f"{torch_name}.bias_ih_l0{suffix}"] = np.asarray(d["b_ih"]).copy()
-            sd[f"{torch_name}.bias_hh_l0{suffix}"] = np.asarray(d["b_hh"]).copy()
+        stack = p[ours]
+        layers = [{"fwd": stack["fwd"], "bwd": stack["bwd"]}]
+        while f"l{len(layers)}" in stack:
+            layers.append(stack[f"l{len(layers)}"])
+        for k, layer in enumerate(layers):
+            for direction, suffix in (("fwd", ""), ("bwd", "_reverse")):
+                d = layer[direction]
+                sd[f"{torch_name}.weight_ih_l{k}{suffix}"] = np.asarray(d["w_ih"]).T.copy()
+                sd[f"{torch_name}.weight_hh_l{k}{suffix}"] = np.asarray(d["w_hh"]).T.copy()
+                sd[f"{torch_name}.bias_ih_l{k}{suffix}"] = np.asarray(d["b_ih"]).copy()
+                sd[f"{torch_name}.bias_hh_l{k}{suffix}"] = np.asarray(d["b_hh"]).copy()
     for torch_name, ours in _HEAD_MAP.items():
         sd[f"{torch_name}.weight"] = np.asarray(p[ours]["w"]).T.copy()
         sd[f"{torch_name}.bias"] = np.asarray(p[ours]["b"]).copy()
@@ -193,15 +213,18 @@ def export_torch_checkpoint(path: str, params: Any, meta: Optional[Dict[str, Any
     layout) so models trained here remain usable with the reference tooling."""
     import torch
 
+    from helen_tpu.models.transducer import model_geometry
+
     meta = dict(meta or {})
+    geom = model_geometry(params)  # authoritative: shapes, not metadata
     sd = {k: torch.from_numpy(np.ascontiguousarray(v))
           for k, v in export_torch_state_dict(params).items()}
     torch.save(
         {
             "model_state_dict": sd,
             "model_optimizer": {},
-            "hidden_size": int(meta.get("hidden_size", 128)),
-            "gru_layers": int(meta.get("gru_layers", 1)),
+            "hidden_size": geom.hidden_size,
+            "gru_layers": geom.gru_layers,
             "epochs": int(meta.get("epochs", 0)),
         },
         path,

@@ -37,17 +37,57 @@ def _linear_init(rng: jax.Array, in_dim: int, out_dim: int, dtype=jnp.float32) -
 
 
 def init_params(rng: jax.Array, cfg: ModelConfig = MODEL, dtype=jnp.float32) -> Params:
-    assert cfg.gru_layers == 1 and cfg.bidirectional, (
-        "the transducer contract is 1 bidirectional layer per GRU stack"
-    )
+    """Build the transducer parameter pytree.
+
+    Layer layout matches the reference TransducerGRU's full generality
+    (TransducerModel.py:43-58 parameterizes gru_layers and hidden_size, and
+    the reference loader rebuilds a model from those checkpoint fields,
+    ModelHander.py:50-63): each GRU stack holds layer 0 as {"fwd", "bwd"}
+    and deeper layers (input 2H, like torch's stacked bidirectional GRU) as
+    sibling keys "l1", "l2", ... — so flagship (1-layer) checkpoints keep
+    their original flat layout.
+    """
+    assert cfg.bidirectional, "the transducer contract is bidirectional GRUs"
+    assert cfg.gru_layers >= 1
     h = cfg.hidden_size
-    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    keys = jax.random.split(rng, 2 * cfg.gru_layers + 2)
+
+    def stack(ks, input_dim):
+        s = bigru_init(ks[0], input_dim, h, dtype)
+        for i in range(1, cfg.gru_layers):
+            s[f"l{i}"] = bigru_init(ks[i], 2 * h, h, dtype)
+        return s
+
     return {
-        "encoder": bigru_init(k1, cfg.input_features, h, dtype),
-        "decoder": bigru_init(k2, 2 * h, h, dtype),
-        "base_head": _linear_init(k3, 2 * h, cfg.num_base_classes, dtype),
-        "rle_head": _linear_init(k4, 2 * h, cfg.num_rle_classes, dtype),
+        "encoder": stack(keys[: cfg.gru_layers], cfg.input_features),
+        "decoder": stack(keys[cfg.gru_layers : 2 * cfg.gru_layers], 2 * h),
+        "base_head": _linear_init(keys[-2], 2 * h, cfg.num_base_classes, dtype),
+        "rle_head": _linear_init(keys[-1], 2 * h, cfg.num_rle_classes, dtype),
     }
+
+
+def _stack_layers(stack: Params) -> list:
+    """Per-layer [{"fwd", "bwd"}, ...] view of one GRU stack's params."""
+    layers = [{"fwd": stack["fwd"], "bwd": stack["bwd"]}]
+    i = 1
+    while f"l{i}" in stack:
+        layers.append(stack[f"l{i}"])
+        i += 1
+    return layers
+
+
+def model_geometry(params: Params) -> ModelConfig:
+    """Recover the model dimensions from a parameter pytree (the analog of
+    the reference rebuilding its model from checkpoint hidden_size/gru_layers,
+    ModelHander.py:50-63). Works on tracers — only shapes are read."""
+    enc = params["encoder"]
+    return ModelConfig(
+        hidden_size=int(enc["fwd"]["w_hh"].shape[0]),
+        gru_layers=len(_stack_layers(enc)),
+        input_features=int(enc["fwd"]["w_ih"].shape[0]),
+        num_base_classes=int(params["base_head"]["w"].shape[-1]),
+        num_rle_classes=int(params["rle_head"]["w"].shape[-1]),
+    )
 
 
 def num_params(params: Params) -> int:
@@ -55,8 +95,15 @@ def num_params(params: Params) -> int:
 
 
 def init_hidden(batch_size: int, cfg: ModelConfig = MODEL, dtype=jnp.float32) -> jnp.ndarray:
-    """Zero hidden state, shape (B, 2, H): [:, 0] fwd, [:, 1] bwd direction."""
-    return jnp.zeros((batch_size, 2, cfg.hidden_size), dtype=dtype)
+    """Zero hidden state, shape (B, 2L, H) in the reference's layer-major
+    layout (TransducerModel.py:83-93 + torch h_0 ordering): slot 2l is layer
+    l's forward direction, slot 2l+1 its backward direction."""
+    return jnp.zeros((batch_size, 2 * cfg.gru_layers, cfg.hidden_size), dtype=dtype)
+
+
+def init_hidden_for(params: Params, batch_size: int, dtype=jnp.float32) -> jnp.ndarray:
+    """init_hidden sized from a parameter pytree's geometry."""
+    return init_hidden(batch_size, model_geometry(params), dtype)
 
 
 def forward(
@@ -69,7 +116,8 @@ def forward(
     """One window of the transducer.
 
     :param x: (B, W, F) float input window
-    :param hidden: (B, 2, H) carried hidden ([:, 0] fwd, [:, 1] bwd)
+    :param hidden: (B, 2L, H) carried hidden, layer-major ([:, 2l] layer-l
+        fwd, [:, 2l+1] layer-l bwd — torch h_0 ordering)
     :param backend: "xla" (lax.scan recurrence), "pallas" (fused TPU window
         kernel, helen_tpu.ops.gru_pallas — same fp32 arithmetic),
         "pallas_fast" (bf16 matmuls with f32 accumulation — fastest; labels
@@ -92,14 +140,26 @@ def forward(
     else:
         _bigru = bigru_apply
     xt = jnp.swapaxes(x, 0, 1)  # time-major (W, B, F)
-    enc_out, hf, hb = _bigru(
-        params["encoder"], xt, hidden[:, 0], hidden[:, 1], precision=precision
-    )
-    dec_out, hf2, hb2 = _bigru(params["decoder"], enc_out, hf, hb, precision=precision)
-    dec_out = jnp.swapaxes(dec_out, 0, 1)  # (B, W, 2H)
+    # Stacked bidirectional GRUs, torch nn.GRU semantics: layer k consumes
+    # layer k-1's (W, B, 2H) output; the encoder's final hiddens seed the
+    # decoder layer-for-layer (reference TransducerModel.py:70-76); the
+    # carried hidden is the decoder's finals in torch layer-major order.
+    out = xt
+    enc_finals = []
+    for li, lp in enumerate(_stack_layers(params["encoder"])):
+        out, hf, hb = _bigru(lp, out, hidden[:, 2 * li], hidden[:, 2 * li + 1],
+                             precision=precision)
+        enc_finals.append((hf, hb))
+    dec_finals = []
+    for li, lp in enumerate(_stack_layers(params["decoder"])):
+        out, hf, hb = _bigru(lp, out, enc_finals[li][0], enc_finals[li][1],
+                             precision=precision)
+        dec_finals.append((hf, hb))
+    dec_out = jnp.swapaxes(out, 0, 1)  # (B, W, 2H)
     base = jnp.dot(dec_out, params["base_head"]["w"], precision=precision) + params["base_head"]["b"]
     rle = jnp.dot(dec_out, params["rle_head"]["w"], precision=precision) + params["rle_head"]["b"]
-    return base, rle, jnp.stack([hf2, hb2], axis=1)
+    new_hidden = jnp.stack([h for pair in dec_finals for h in pair], axis=1)
+    return base, rle, new_hidden
 
 
 def consensus_probs(
@@ -137,12 +197,16 @@ def consensus_probs(
     B, L, F = images.shape
     W = window_cfg.window
     starts = jnp.asarray(window_cfg.starts(L), dtype=jnp.int32)
-    nb = model_cfg.num_base_classes
-    nr = model_cfg.num_rle_classes
+    # geometry comes from the params themselves (like the reference, which
+    # rebuilds its model from checkpoint hidden_size/gru_layers) so any
+    # reference-compatible model geometry runs without config plumbing
+    geom = model_geometry(params)
+    nb = geom.num_base_classes
+    nr = geom.num_rle_classes
 
     base_acc = jnp.zeros((B, L, nb), dtype=jnp.float32)
     rle_acc = jnp.zeros((B, L, nr), dtype=jnp.float32)
-    hidden = init_hidden(B, model_cfg)
+    hidden = init_hidden(B, geom)
 
     # NOTE (explored and rejected, 2026-08): hoisting the encoder input
     # projection over the whole image — project (L, B, F) once, slice
@@ -197,7 +261,7 @@ INFER_BACKENDS = ("xla", "pallas", "pallas_fast")
 TRAIN_BACKENDS = ("xla", "pallas_train")
 
 
-def resolve_backend(requested, kind: str, log=None) -> str:
+def resolve_backend(requested, kind: str, log=None, params=None) -> str:
     """Resolve a --backend value for one of the two recurrence surfaces.
 
     ``kind`` is "infer" (consensus: xla / pallas / pallas_fast) or "train"
@@ -207,6 +271,12 @@ def resolve_backend(requested, kind: str, log=None) -> str:
     a backend belonging to the other surface is a ValueError — e.g. the
     DEFAULT-precision train kernel must never silently serve the fp32
     parity inference path.
+
+    When ``params`` is given, Pallas backends additionally require the
+    kernels' compiled hidden size (128 — the flagship/published geometry);
+    other hidden sizes fall back to the lax.scan path with a log line.
+    Layer count does not matter: the fused kernels run per window per
+    layer, whatever the stack depth.
     """
     import jax
 
@@ -215,15 +285,27 @@ def resolve_backend(requested, kind: str, log=None) -> str:
     platform = jax.local_devices()[0].platform
     on_tpu = platform in ("tpu", "axon")
     if requested is None or requested == "auto":
-        return preferred if on_tpu else "xla"
-    if requested not in allowed:
-        raise ValueError(
-            f"backend {requested!r} is not a {kind} backend; expected one of "
-            f"{('auto',) + allowed}"
-        )
-    if requested != "xla" and not on_tpu:
-        if log is not None:
-            log.warning("backend %r needs a TPU; falling back to 'xla' on %s",
-                        requested, platform)
-        return "xla"
-    return requested
+        resolved = preferred if on_tpu else "xla"
+    else:
+        if requested not in allowed:
+            raise ValueError(
+                f"backend {requested!r} is not a {kind} backend; expected one of "
+                f"{('auto',) + allowed}"
+            )
+        if requested != "xla" and not on_tpu:
+            if log is not None:
+                log.warning("backend %r needs a TPU; falling back to 'xla' on %s",
+                            requested, platform)
+            return "xla"
+        resolved = requested
+    if resolved != "xla" and params is not None:
+        from helen_tpu.ops.gru_pallas import H as KERNEL_H
+
+        h = model_geometry(params).hidden_size
+        if h != KERNEL_H:
+            if log is not None:
+                log.warning(
+                    "backend %r supports hidden_size %d only (model has %d); "
+                    "falling back to 'xla'", resolved, KERNEL_H, h)
+            return "xla"
+    return resolved

@@ -25,24 +25,33 @@ from typing import Callable, Optional
 import numpy as np
 
 
-def param_partition_specs(params):
+def param_partition_specs(params=None, gru_layers: int = 1):
     """PartitionSpec pytree for the transducer params over ("data", "model").
 
     GRU w_ih/w_hh shard the 3H gate axis; gate biases shard likewise; head
-    weights shard the 2H input axis; head biases are replicated.
+    weights shard the 2H input axis; head biases are replicated. Pass the
+    params pytree (or ``gru_layers``) for stacked-GRU geometries — deeper
+    layers ("l1", "l2", ... keys) shard identically to layer 0.
     """
     from jax.sharding import PartitionSpec as P
 
+    if params is not None:
+        stack = params["encoder"]
+        gru_layers = 1
+        while f"l{gru_layers}" in stack:
+            gru_layers += 1
+
+    dir_spec = {
+        "w_ih": P(None, "model"),
+        "w_hh": P(None, "model"),
+        "b_ih": P("model"),
+        "b_hh": P("model"),
+    }
     specs = {}
     for layer in ("encoder", "decoder"):
-        specs[layer] = {}
-        for direction in ("fwd", "bwd"):
-            specs[layer][direction] = {
-                "w_ih": P(None, "model"),
-                "w_hh": P(None, "model"),
-                "b_ih": P("model"),
-                "b_hh": P("model"),
-            }
+        specs[layer] = {d: dict(dir_spec) for d in ("fwd", "bwd")}
+        for k in range(1, gru_layers):
+            specs[layer][f"l{k}"] = {d: dict(dir_spec) for d in ("fwd", "bwd")}
     for head in ("base_head", "rle_head"):
         specs[head] = {"w": P("model", None), "b": P()}
     return specs
@@ -72,7 +81,7 @@ def make_sharded_train_step(
     # wraps it in shard_map instead.
     fn = build_tbptt_fn(tx, image_len=image_len, precision=precision)
 
-    pspecs = param_partition_specs(None)
+    pspecs = param_partition_specs()
     param_sh = jax.tree_util.tree_map(
         lambda spec: NamedSharding(mesh, spec), pspecs,
         is_leaf=lambda x: isinstance(x, P),
@@ -95,7 +104,7 @@ def shard_params(mesh, params):
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    pspecs = param_partition_specs(None)
+    pspecs = param_partition_specs(params)
     shardings = jax.tree_util.tree_map(
         lambda spec: NamedSharding(mesh, spec), pspecs,
         is_leaf=lambda x: isinstance(x, P),
@@ -113,7 +122,7 @@ def make_sharded_consensus_fn(mesh, precision=None) -> Callable:
     from helen_tpu.config import MODEL, WINDOW
     from helen_tpu.models.transducer import consensus_labels
 
-    pspecs = param_partition_specs(None)
+    pspecs = param_partition_specs()
     param_sh = jax.tree_util.tree_map(
         lambda spec: NamedSharding(mesh, spec), pspecs,
         is_leaf=lambda x: isinstance(x, P),

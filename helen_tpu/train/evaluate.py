@@ -18,7 +18,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from helen_tpu.config import IMAGE, MODEL, TRAIN, WINDOW
+from helen_tpu.config import IMAGE, TRAIN, WINDOW
 from helen_tpu.io.images import MarginPolishDataset, batched_image_iterator
 from helen_tpu.obs import get_logger
 from helen_tpu.utils.filesystem import ensure_output_dir, list_image_files
@@ -35,7 +35,7 @@ def _jitted_eval(precision):
     import jax.numpy as jnp
     from jax import lax
 
-    from helen_tpu.models.transducer import forward, init_hidden
+    from helen_tpu.models.transducer import forward, init_hidden_for, model_geometry
     from helen_tpu.train.loss import (
         masked_cross_entropy,
         masked_weighted_cross_entropy,
@@ -43,13 +43,14 @@ def _jitted_eval(precision):
 
     W = WINDOW.window
     starts = jnp.asarray(WINDOW.starts(IMAGE.seq_length), dtype=jnp.int32)
-    nb, nr = MODEL.num_base_classes, MODEL.num_rle_classes
     rle_w = jnp.asarray(TRAIN.rle_class_weights, dtype=jnp.float32)
 
     def fn(p, images_u8, label_base, label_rle, col_mask, valid):
         B, L, F = images_u8.shape
+        geom = model_geometry(p)  # shapes only — tracer-safe
+        nb, nr = geom.num_base_classes, geom.num_rle_classes
         images = images_u8.astype(jnp.float32)
-        hidden = init_hidden(B, MODEL)
+        hidden = init_hidden_for(p, B)
         cm_base = jnp.zeros((nb, nb), dtype=jnp.float32)
         cm_rle = jnp.zeros((nr, nr), dtype=jnp.float32)
         # loss over real ROWS only (batches are padded to a static shape;
@@ -120,6 +121,8 @@ def evaluate(
     precision=None,
 ) -> Dict[str, object]:
     """Evaluate params over labeled images; returns loss, accuracies, CMs."""
+    from helen_tpu.models.transducer import model_geometry
+
     dataset = MarginPolishDataset(test_files, IMAGE, with_labels=True)
     if len(dataset) == 0:
         raise ValueError("no labeled images found for evaluation")
@@ -127,8 +130,9 @@ def evaluate(
     n_windows = WINDOW.num_windows(IMAGE.seq_length)
     total_loss = 0.0
     total_images = 0
-    cm_base = np.zeros((MODEL.num_base_classes, MODEL.num_base_classes))
-    cm_rle = np.zeros((MODEL.num_rle_classes, MODEL.num_rle_classes))
+    geom = model_geometry(params)
+    cm_base = np.zeros((geom.num_base_classes, geom.num_base_classes))
+    cm_rle = np.zeros((geom.num_rle_classes, geom.num_rle_classes))
     # pad_final=True: ONE static batch shape (a ragged tail batch would
     # trigger a second multi-minute remote TPU compile); padded rows are
     # masked out of loss and confusion matrices inside the jitted step

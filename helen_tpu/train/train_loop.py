@@ -117,7 +117,7 @@ def build_tbptt_fn(tx, image_len: int = None, precision=None, backend: str = "xl
     import optax
     from jax import lax
 
-    from helen_tpu.models.transducer import forward, init_hidden
+    from helen_tpu.models.transducer import forward, init_hidden_for
     from helen_tpu.train.loss import (
         masked_cross_entropy_parts,
         masked_weighted_cross_entropy_parts,
@@ -146,7 +146,7 @@ def build_tbptt_fn(tx, image_len: int = None, precision=None, backend: str = "xl
     def fn(params, opt_state, lr, images_u8, label_base, label_rle, valid):
         B, L, F = images_u8.shape
         images = images_u8.astype(jnp.float32)
-        hidden = init_hidden(B, MODEL)
+        hidden = init_hidden_for(params, B)
         rows = jnp.arange(B)
         if axis_name is not None:
             rows = rows + lax.axis_index(axis_name) * B  # global row indices
@@ -178,12 +178,13 @@ def build_tbptt_fn(tx, image_len: int = None, precision=None, backend: str = "xl
 
 
 def make_train_step(tx, data_parallel: bool = False, precision=None,
-                    backend: str = "auto"):
+                    backend: str = "auto", params=None):
     """Jit the TBPTT step for all local devices (batch-sharded 1-D mesh when
     data_parallel and more than one device). Returns (step_fn, shard_multiple).
 
     backend "auto" picks the fused Pallas training kernels on TPU and the
-    lax.scan path elsewhere."""
+    lax.scan path elsewhere; pass ``params`` so non-kernel model geometries
+    (hidden_size != 128) fall back to lax.scan instead of failing."""
     import jax
 
     from helen_tpu.models.transducer import resolve_backend
@@ -192,7 +193,7 @@ def make_train_step(tx, data_parallel: bool = False, precision=None,
         # explicit precision means the caller wants specific matmul numerics;
         # the fused kernels run DEFAULT only, so honor the request via XLA
         backend = "xla"
-    backend = resolve_backend(backend, "train", log)
+    backend = resolve_backend(backend, "train", log, params=params)
     if backend == "pallas_train" and precision is not None:
         log.warning(
             "backend 'pallas_train' ignores precision=%s for the GRU "
@@ -290,11 +291,16 @@ class Trainer:
         precision=None,
         checkpoint_every_batches: int = 200,
         backend: str = "auto",
+        model_cfg=MODEL,
     ):
         import jax
         import jax.numpy as jnp
 
-        from helen_tpu.models.transducer import init_params, num_params
+        from helen_tpu.models.transducer import (
+            init_params,
+            model_geometry,
+            num_params,
+        )
 
         self.cfg = cfg
         self.train_files = list(train_files)
@@ -333,13 +339,19 @@ class Trainer:
             self.start_batch = int(meta.get("batch_in_epoch", 0))
             log.info("retraining from %s (epoch %d)", retrain_model_path, self.start_epoch)
         else:
-            self.params = init_params(jax.random.PRNGKey(cfg.seed), MODEL)
+            self.params = init_params(jax.random.PRNGKey(cfg.seed), model_cfg)
             self.opt_state = self.tx.init(self.params)
-        log.info("model parameters: %d", num_params(self.params))
+        # geometry follows the actual params (a retrain checkpoint may carry
+        # any reference-compatible hidden_size/gru_layers)
+        self.model_cfg = model_geometry(self.params)
+        log.info("model parameters: %d (hidden %d, %d gru layer(s))",
+                 num_params(self.params), self.model_cfg.hidden_size,
+                 self.model_cfg.gru_layers)
         self.n_procs = jax.process_count()
         self.pid = jax.process_index()
         self.step_fn, self.shard_multiple = make_train_step(
-            self.tx, data_parallel, precision, backend=backend
+            self.tx, data_parallel, precision, backend=backend,
+            params=self.params,
         )
         # eff_batch is the GLOBAL batch (cfg.batch_size rounded up to the
         # job's device count); each host feeds eff_local rows of it
@@ -367,8 +379,8 @@ class Trainer:
             meta={
                 "epochs": epoch,
                 "batch_in_epoch": batch_in_epoch,
-                "hidden_size": MODEL.hidden_size,
-                "gru_layers": MODEL.gru_layers,
+                "hidden_size": self.model_cfg.hidden_size,
+                "gru_layers": self.model_cfg.gru_layers,
                 "scheduler": self.scheduler.state_dict(),
             },
             opt_state=self.opt_state,
@@ -474,8 +486,8 @@ class Trainer:
                     ckpt, self.params,
                     meta={
                         "epochs": epoch + 1,
-                        "hidden_size": MODEL.hidden_size,
-                        "gru_layers": MODEL.gru_layers,
+                        "hidden_size": self.model_cfg.hidden_size,
+                        "gru_layers": self.model_cfg.gru_layers,
                         "scheduler": self.scheduler.state_dict(),
                     },
                     opt_state=self.opt_state,
@@ -510,15 +522,21 @@ def train_interface(
     weight_decay: float = 0.0,
     seed: int = 42,
     backend: str = "auto",
+    hidden_size: int = MODEL.hidden_size,
+    gru_layers: int = MODEL.gru_layers,
 ) -> List[EpochStats]:
     """CLI entry: timestamped model/stats dirs like the reference
-    (TrainInterface.py + FileManager.py:25-48)."""
+    (TrainInterface.py + FileManager.py:25-48). hidden_size/gru_layers pick
+    the geometry of a FRESH model (the reference parameterizes its
+    TransducerGRU the same way, TransducerModel.py:43-58, but only exposes
+    it as constants); retraining always follows the checkpoint's geometry."""
     import dataclasses as _dc
 
     cfg = _dc.replace(
         TRAIN, batch_size=batch_size, learning_rate=learning_rate,
         weight_decay=weight_decay, seed=seed,
     )
+    model_cfg = _dc.replace(MODEL, hidden_size=hidden_size, gru_layers=gru_layers)
     import jax
 
     if jax.process_count() > 1:
@@ -542,5 +560,6 @@ def train_interface(
         num_workers=num_workers,
         retrain_model_path=retrain_model_path,
         backend=backend,
+        model_cfg=model_cfg,
     )
     return trainer.run(epochs)

@@ -58,3 +58,41 @@ def test_scheduler_state_restored_on_retrain(tmp_path):
                  model_dir=str(tmp_path / "m2"), stats_dir=str(tmp_path / "s2"),
                  num_workers=1, retrain_model_path=ckpt)
     assert t2.scheduler.lr == pytest.approx(5e-4)
+
+
+def test_convert_stacked_pkl_roundtrip(tmp_path, rng):
+    """A 2-layer / hidden-64 reference checkpoint (the reference loader
+    rebuilds from hidden_size/gru_layers, ModelHander.py:50-63) imports,
+    runs, and round-trips through the convert CLI."""
+    from tests.torch_reference import TorchTransducer
+
+    torch.manual_seed(3)
+    model = TorchTransducer(hidden=64, gru_layers=2)
+    pkl = str(tmp_path / "stacked.pkl")
+    torch.save(
+        {"model_state_dict": model.state_dict(), "model_optimizer": {},
+         "hidden_size": 64, "gru_layers": 2, "epochs": 1},
+        pkl,
+    )
+    params, meta = load_model_any(pkl)
+    assert meta["gru_layers"] == 2 and meta["hidden_size"] == 64
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    x = rng.standard_normal((2, 100, 90)).astype(np.float32)
+    h = np.zeros((2, 4, 64), np.float32)
+    with torch.no_grad():
+        tb, _, th = model(torch.from_numpy(x), torch.from_numpy(h))
+    jb, _, jh = forward(params, jnp.asarray(x), jnp.asarray(h),
+                        precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(jb), tb.numpy(), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(jh), th.numpy(), atol=2e-5, rtol=1e-4)
+
+    npz = str(tmp_path / "stacked.npz")
+    assert main(["convert", "-i", pkl, "-o", npz]) == 0
+    p2, meta2 = load_model_any(npz)
+    pkl2 = str(tmp_path / "stacked2.pkl")
+    assert main(["convert", "-i", npz, "-o", pkl2]) == 0
+    sd2 = torch.load(pkl2, map_location="cpu", weights_only=False)
+    assert sd2["gru_layers"] == 2 and sd2["hidden_size"] == 64
+    model2 = TorchTransducer(hidden=64, gru_layers=2)
+    model2.load_state_dict(sd2["model_state_dict"])  # shapes + names line up

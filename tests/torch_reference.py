@@ -12,11 +12,13 @@ import torch.nn as nn
 
 
 class TorchTransducer(nn.Module):
-    def __init__(self, features=90, hidden=128, base_classes=5, rle_classes=11):
+    def __init__(self, features=90, hidden=128, base_classes=5, rle_classes=11,
+                 gru_layers=1):
         super().__init__()
         self.hidden_size = hidden
-        self.gru_encoder = nn.GRU(features, hidden, num_layers=1, bidirectional=True, batch_first=True)
-        self.gru_decoder = nn.GRU(2 * hidden, hidden, num_layers=1, bidirectional=True, batch_first=True)
+        self.gru_layers = gru_layers
+        self.gru_encoder = nn.GRU(features, hidden, num_layers=gru_layers, bidirectional=True, batch_first=True)
+        self.gru_decoder = nn.GRU(2 * hidden, hidden, num_layers=gru_layers, bidirectional=True, batch_first=True)
         self.dense1_base = nn.Linear(2 * hidden, base_classes)
         self.dense2_rle = nn.Linear(2 * hidden, rle_classes)
 
@@ -34,7 +36,7 @@ def reference_consensus(model, images, window=100, jump=50, base_classes=5, rle_
     model.eval()
     images = torch.as_tensor(images, dtype=torch.float32)
     B, L, _ = images.shape
-    hidden = torch.zeros(B, 2, model.hidden_size)
+    hidden = torch.zeros(B, 2 * getattr(model, "gru_layers", 1), model.hidden_size)
     base_acc = torch.zeros(B, L, base_classes)
     rle_acc = torch.zeros(B, L, rle_classes)
     for i in range(0, L, jump):
