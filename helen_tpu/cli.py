@@ -37,6 +37,10 @@ def _add_common_consensus_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pack", action="store_true",
                    help="build/reuse a packed contiguous image cache for "
                         "slab-read streaming (recommended for large runs)")
+    p.add_argument("--writers", type=int, default=1,
+                   help="prediction-writer processes per host (each owns one "
+                        "shard file); >1 unbinds fast hosts from libhdf5's "
+                        "in-process serialization")
     p.add_argument("--host_shard", default="image", choices=["image", "file"],
                    help="multi-host work partition: contiguous image blocks "
                         "(balanced) or round-robin whole files (host-local IO)")
@@ -211,6 +215,7 @@ def main(argv=None) -> int:
             backend="pallas_fast" if args.fast else args.backend,
             pack=args.pack,
             host_shard=args.host_shard,
+            num_writers=args.writers,
             data_parallel=not args.no_data_parallel,
         )
         print(fasta)
@@ -232,6 +237,7 @@ def main(argv=None) -> int:
             backend="pallas_fast" if args.fast else args.backend,
             pack=args.pack,
             host_shard=args.host_shard,
+            num_writers=args.writers,
         )
         for f in files:
             print(f)

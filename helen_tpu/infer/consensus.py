@@ -139,12 +139,17 @@ def call_consensus(
     backend: Optional[str] = None,
     pack: bool = False,
     host_shard: str = "image",
+    num_writers: int = 1,
 ) -> List[str]:
     """Run consensus calling over a directory of MarginPolish images.
 
     Writes ``<output_dir>/<output_prefix>_<process_index>.hdf`` (one
     prediction shard per host — ``_0`` in single-process runs; see
-    parallel.multihost).
+    parallel.multihost). ``num_writers > 1`` fans writes out to that many
+    writer PROCESSES, each owning ``<prefix>_<host>_w<k>.hdf`` — libhdf5
+    serializes in-process, so on fast hosts the single store caps the
+    pipeline well below chip speed (docs/performance.md); stitch merges the
+    per-writer shards exactly like multi-host shards.
     ``pack=True`` builds (or reuses) a packed contiguous cache of the images
     for slab-read streaming — ~10-30x faster host IO on large runs.
 
@@ -222,13 +227,26 @@ def call_consensus(
     log.info("consensus backend: %s", step.backend)
     eff_batch = _round_up(batch_size, shard_multiple)
 
-    mode = "a" if (resume and os.path.exists(out_path)) else "w"
+    if num_writers > 1:
+        from helen_tpu.io.writer_pool import PredictionWriterPool
+
+        pool_paths = [
+            os.path.join(output_dir, f"{output_prefix}_{shard_id}_w{k}.hdf")
+            for k in range(num_writers)
+        ]
+        mode = "a" if (resume and any(os.path.exists(p) for p in pool_paths)) else "w"
+        store_cm = PredictionWriterPool(pool_paths, mode)
+        out_paths = pool_paths
+    else:
+        mode = "a" if (resume and os.path.exists(out_path)) else "w"
+        store_cm = PredictionStore(out_path, mode)
+        out_paths = [out_path]
     timer = StageTimer()
     windows = Throughput(unit="windows")
     n_windows = WINDOW.num_windows(IMAGE.seq_length)
     written = skipped = 0
 
-    with PredictionStore(out_path, mode) as store, profile_trace(profile_dir):
+    with store_cm as store, profile_trace(profile_dir):
         indices = shard_indices if shard_indices is not None else list(range(len(dataset)))
         windows.start()
         total_batches = (len(indices) + eff_batch - 1) // eff_batch
@@ -295,4 +313,4 @@ def call_consensus(
     log.info("consensus done: %d images written, %d skipped (resume), %s",
              written, skipped, windows)
     log.info("stage timings:\n%s", timer.report())
-    return [out_path]
+    return out_paths

@@ -69,6 +69,7 @@ def polish(
     pack: bool = False,
     host_shard: str = "image",
     data_parallel: bool = True,
+    num_writers: int = 1,
 ) -> str:
     """Full polish: images -> consensus -> stitch -> polished FASTA path.
 
@@ -121,6 +122,7 @@ def polish(
             pack=pack,
             host_shard=host_shard,
             data_parallel=data_parallel,
+            num_writers=num_writers,
         )
     fasta = os.path.join(output_dir, output_prefix + ".fa")
     if multi:

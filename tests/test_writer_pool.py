@@ -1,0 +1,115 @@
+"""Multi-process prediction writer pool: routing, dedupe, resume, stitch."""
+import os
+
+import numpy as np
+import pytest
+
+from helen_tpu.io.prediction_store import list_contigs, list_region_keys
+from helen_tpu.io.synthetic import random_sequence, rle_encode
+from helen_tpu.io.writer_pool import PredictionWriterPool
+from helen_tpu.stitch import stitch_contig
+
+
+def _region_records(seq, region_cols=300, overlap_cols=40, chunk_cols=120):
+    """(contig_start, contig_end, chunk_id, position, bases, rles) records
+    covering ``seq`` with overlapping base-space regions split into chunks
+    (same layout as io.synthetic.write_prediction_file)."""
+    from helen_tpu.io.synthetic import partition_regions
+
+    bases, rles = rle_encode(seq)
+    records = []
+    for region in partition_regions(bases, rles, "ctg", region_cols, overlap_cols):
+        ncols = region.bases.shape[0]
+        position = np.zeros((ncols, 3), dtype=np.int64)
+        position[:, 0] = np.arange(region.col_start, region.col_start + ncols)
+        for ci, cs in enumerate(range(0, ncols, chunk_cols)):
+            ce = min(cs + chunk_cols, ncols)
+            records.append((
+                region.contig_start, region.contig_end, ci,
+                position[cs:ce], region.bases[cs:ce], region.runs[cs:ce],
+            ))
+    return records
+
+
+def test_pool_stitch_roundtrip(tmp_path):
+    seq = random_sequence(6000, seed=9)
+    paths = [str(tmp_path / f"pred_0_w{k}.hdf") for k in range(3)]
+    with PredictionWriterPool(paths, "w") as pool:
+        for start, end, ci, pos, b, r in _region_records(seq):
+            assert pool.write_prediction("ctg", start, end, ci, pos, b, r)
+            # duplicate is dropped pool-wide regardless of routing
+            assert not pool.write_prediction("ctg", start, end, ci, pos, b, r)
+    # chunks landed across several files, regions grouped across all of them
+    sizes = [os.path.getsize(p) for p in paths]
+    assert sum(1 for s in sizes if s > 2000) >= 2, sizes
+    assert list_contigs(paths) == ["ctg"]
+    assert stitch_contig(paths, "ctg", threads=1) == seq
+
+
+def test_pool_resume_skips_existing(tmp_path):
+    seq = random_sequence(3000, seed=4)
+    records = _region_records(seq)
+    paths = [str(tmp_path / f"pred_0_w{k}.hdf") for k in range(2)]
+    half = len(records) // 2
+    with PredictionWriterPool(paths, "w") as pool:
+        for start, end, ci, pos, b, r in records[:half]:
+            pool.write_prediction("ctg", start, end, ci, pos, b, r)
+    with PredictionWriterPool(paths, "a") as pool:
+        # startup collected every shard's chunks into the union set
+        s0 = records[0]
+        assert pool.has_chunk("ctg", s0[0], s0[1], s0[2])
+        for start, end, ci, pos, b, r in records:
+            wrote = pool.write_prediction("ctg", start, end, ci, pos, b, r)
+            assert wrote == ((start, end, ci) not in
+                             {(x[0], x[1], x[2]) for x in records[:half]})
+    assert stitch_contig(paths, "ctg", threads=1) == seq
+
+
+def test_pool_rejects_slash_contig(tmp_path):
+    paths = [str(tmp_path / "p_w0.hdf")]
+    with PredictionWriterPool(paths, "w") as pool:
+        with pytest.raises(ValueError, match="contains '/'"):
+            pool.write_prediction("a/b", 0, 10, 0,
+                                  np.zeros((2, 3)), np.zeros(2), np.zeros(2))
+
+
+def test_pool_startup_error_propagates(tmp_path):
+    bad = str(tmp_path / "no_such_dir" / "x.hdf")
+    with pytest.raises(RuntimeError, match="failed to start"):
+        PredictionWriterPool([bad], "w")
+
+
+def test_consensus_driver_with_pool(tmp_path):
+    """call_consensus(num_writers=2) end-to-end on synthetic images."""
+    import torch
+
+    from helen_tpu.infer.consensus import call_consensus
+    from helen_tpu.io.synthetic import write_image_file
+    from tests.torch_reference import TorchTransducer
+
+    image_dir = tmp_path / "images"
+    image_dir.mkdir()
+    write_image_file(str(image_dir / "img.h5"),
+                     {"ctgP": random_sequence(4000, seed=2)},
+                     region_cols=600, overlap_cols=60, noise=0.1)
+    torch.manual_seed(1)
+    pkl = str(tmp_path / "m.pkl")
+    torch.save({"model_state_dict": TorchTransducer().state_dict(),
+                "model_optimizer": {}, "hidden_size": 128, "gru_layers": 1,
+                "epochs": 0}, pkl)
+    out = call_consensus(
+        image_dir=str(image_dir), model_path=pkl,
+        output_dir=str(tmp_path / "out"), batch_size=4, num_workers=2,
+        num_writers=2,
+    )
+    assert len(out) == 2
+    assert all(os.path.exists(p) for p in out)
+    # both single-file and pool outputs hold the same labels: compare against
+    # a single-writer run
+    out1 = call_consensus(
+        image_dir=str(image_dir), model_path=pkl,
+        output_dir=str(tmp_path / "out1"), batch_size=4, num_workers=2,
+    )
+    a = stitch_contig(out, "ctgP", threads=1)
+    b = stitch_contig(out1, "ctgP", threads=1)
+    assert a == b and len(a) > 3000
