@@ -18,10 +18,12 @@ from helen_tpu.utils.filesystem import ensure_output_dir
 
 log = get_logger("download")
 
-#: default manifest location (reference points at its GCS bucket; override
-#: with --manifest_url or HELEN_TPU_MODEL_MANIFEST for mirrors)
+#: default manifest: the reference's published model-description CSV
+#: (reference DownloadModel.py:11); override with --manifest_url or
+#: HELEN_TPU_MODEL_MANIFEST for mirrors
 DEFAULT_MANIFEST_URL = (
-    "https://storage.googleapis.com/kishwar-helen/models_helen/manifest.csv"
+    "https://storage.googleapis.com/kishwar-helen/models_helen/"
+    "mp_helen_model_description.csv"
 )
 
 
@@ -53,6 +55,10 @@ def download_models(
             name = os.path.basename(url)
         else:
             name, url = row[0].strip(), row[1].strip()
+        if not os.path.splitext(name)[1]:
+            # the reference saves wget's basename(url); manifest names are
+            # bare model ids, so keep the real filename (extension included)
+            name = os.path.basename(url) or name
         dest = os.path.join(output_dir, name)
         if os.path.exists(dest):
             log.info("already present: %s", name)

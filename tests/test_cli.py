@@ -99,13 +99,19 @@ def test_download_models_file_url(tmp_path):
     src.mkdir()
     (src / "model_a.pkl").write_bytes(b"fake model a")
     manifest = src / "manifest.csv"
+    (src / "r941_flip235.pkl").write_bytes(b"fake model b")
+    manifest = src / "manifest.csv"
     manifest.write_text(
         f"model_a.pkl,file://{src}/model_a.pkl\n# comment line\n"
+        # bare model id, like the reference's published description CSV —
+        # saved under the URL's real filename (reference keeps wget's name)
+        f"r941_flip235,file://{src}/r941_flip235.pkl\n"
     )
     out = tmp_path / "models"
     paths = download_models(str(out), f"file://{manifest}")
-    assert len(paths) == 1
+    assert len(paths) == 2
     assert open(paths[0], "rb").read() == b"fake model a"
+    assert os.path.basename(paths[1]) == "r941_flip235.pkl"
     # second call keeps existing files
     assert download_models(str(out), f"file://{manifest}") == paths
 
