@@ -22,6 +22,10 @@ setup(
     entry_points={
         "console_scripts": [
             "helen_tpu = helen_tpu.cli:main",
+            # the reference also ships a `marginpolish` wrapper script
+            # (reference setup.py:152-159); prefixed here so a real
+            # marginPolish install keeps its name
+            "helen_tpu-marginpolish = helen_tpu.marginpolish:main",
         ]
     },
 )

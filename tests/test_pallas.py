@@ -151,3 +151,44 @@ def test_fused_fast_mode_close(rng):
     ref_out, _, _ = bigru_apply(params, x, h0, h0)
     fast_out, _, _ = bigru_apply_fused(params, x, h0, h0, interpret=True, fast=True)
     np.testing.assert_allclose(np.asarray(fast_out), np.asarray(ref_out), atol=0.05)
+
+
+def test_stacked_transducer_train_kernel_grads_interpret():
+    """2-layer stacks run the fused train kernels per layer; gradients must
+    match the lax.scan path (exact in interpret mode up to f32 roundoff)."""
+    import dataclasses
+
+    from helen_tpu.config import MODEL
+    from helen_tpu.models.gru import bigru_apply as scan_bigru
+    from helen_tpu.models.transducer import _stack_layers, init_params
+
+    cfg = dataclasses.replace(MODEL, gru_layers=2)
+    params = init_params(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((4, 100, 90)), jnp.float32)
+    xt = jnp.swapaxes(x, 0, 1)
+    h = jnp.zeros((4, 4, 128))
+
+    def run(params, bigru):
+        out = xt
+        finals = []
+        for li, lp in enumerate(_stack_layers(params["encoder"])):
+            out, hf, hb = bigru(lp, out, h[:, 2 * li], h[:, 2 * li + 1])
+            finals.append((hf, hb))
+        for li, lp in enumerate(_stack_layers(params["decoder"])):
+            out, hf, hb = bigru(lp, out, finals[li][0], finals[li][1])
+        return out.sum() + hf.sum() + hb.sum()
+
+    fused = lambda p: run(
+        p, lambda *a: bigru_apply_fused_train(*a, interpret=True)
+    )
+    scan = lambda p: run(p, lambda *a: scan_bigru(*a))
+    gf = jax.grad(fused)(params)
+    gs = jax.grad(scan)(params)
+    key = lambda kv: str(kv[0])
+    for (k, a), (_, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(gf), key=key),
+        sorted(jax.tree_util.tree_leaves_with_path(gs), key=key),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3, err_msg=str(k))
