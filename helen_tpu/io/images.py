@@ -94,11 +94,16 @@ class MarginPolishDataset:
         self._local = threading.local()
         self.index: List[Tuple[str, str]] = []  # (file, image_name)
         for path in self.files:
-            with h5py.File(path, "r") as f:
-                if "images" not in f:
-                    continue
-                for name in sorted(f["images"].keys()):
-                    self.index.append((path, name))
+            try:
+                with h5py.File(path, "r") as f:
+                    if "images" not in f:
+                        continue
+                    for name in sorted(f["images"].keys()):
+                        self.index.append((path, name))
+            except OSError as exc:
+                # h5py's message omits the path; a corrupt/truncated input
+                # must name itself
+                raise OSError(f"{path}: not a readable HDF5 file ({exc})") from exc
 
     def __len__(self) -> int:
         return len(self.index)
@@ -114,9 +119,24 @@ class MarginPolishDataset:
 
     def load(self, i: int) -> ImageRecord:
         path, name = self.index[i]
-        grp = self._handle(path)["images"][name]
-        image = np.asarray(grp["image"][()], dtype=np.uint8)
-        position = np.asarray(grp["position"][()], dtype=np.int64)
+        try:
+            grp = self._handle(path)["images"][name]
+            image = np.asarray(grp["image"][()], dtype=np.uint8)
+            position = np.asarray(grp["position"][()], dtype=np.int64)
+        except KeyError as exc:
+            raise KeyError(
+                f"{path}: images/{name} is missing a dataset ({exc}) — "
+                "not a complete MarginPolish image group"
+            ) from exc
+        if image.ndim != 2 or image.shape[1] != self.cfg.feature_dim:
+            # a wrong-width image would otherwise reach the compiled model
+            # and die in a cryptic XLA shape error (or silently batch with
+            # the wrong geometry)
+            raise ValueError(
+                f"{path}: images/{name} has shape {image.shape}; expected "
+                f"(<= {self.cfg.seq_length}, {self.cfg.feature_dim}) "
+                "MarginPolish pileup columns"
+            )
         contig = _decode_contig(grp["contig"][()])
         contig_start = int(np.asarray(grp["contig_start"][()]).reshape(-1)[0])
         contig_end = int(np.asarray(grp["contig_end"][()]).reshape(-1)[0])

@@ -206,3 +206,38 @@ os._exit(0)  # hard exit: no close, like a preempted worker
         pos = np.zeros((3, 3), dtype=np.int64)
         store.write_prediction("c", 0, 10, 1, pos, np.array([4,4,4]), np.array([1,1,1]))
     assert len(list(read_prediction_regions(path, "c", "c-0-10"))) == 2
+
+
+def test_dataset_names_corrupt_file(tmp_path):
+    bad = tmp_path / "trunc.h5"
+    bad.write_bytes(b"\x89HDF\r\n" + b"x" * 100)
+    with pytest.raises(OSError, match="trunc.h5"):
+        MarginPolishDataset([str(bad)])
+
+
+def test_dataset_rejects_wrong_feature_dim(tmp_path):
+    import h5py
+
+    path = str(tmp_path / "badfeat.h5")
+    with h5py.File(path, "w") as f:
+        g = f.create_group("images/img0")
+        g["image"] = np.zeros((100, 100), np.uint8)  # 100 features, not 90
+        g["position"] = np.zeros((100, 3), np.int64)
+        g["contig"] = np.array([b"c"], dtype="S64")
+        g["contig_start"] = np.array([0])
+        g["contig_end"] = np.array([10])
+        g["feature_chunk_idx"] = np.array([0])
+    ds = MarginPolishDataset([path])
+    with pytest.raises(ValueError, match="badfeat.h5.*img0.*100"):
+        ds.load(0)
+
+
+def test_dataset_names_incomplete_group(tmp_path):
+    import h5py
+
+    path = str(tmp_path / "missing.h5")
+    with h5py.File(path, "w") as f:
+        f.create_group("images/img0")["image"] = np.zeros((10, 90), np.uint8)
+    ds = MarginPolishDataset([path])
+    with pytest.raises(KeyError, match="missing.h5.*img0"):
+        ds.load(0)
