@@ -74,10 +74,16 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common_consensus_args(p)
     p.add_argument("-t", "--threads", type=int, default=4, help="stitch process count")
     p.add_argument("-p", "--output_prefix", default="HELEN_prediction")
+    p.add_argument("--fastq", action="store_true",
+                   help="emit <prefix>.fq with per-base phred qualities from "
+                        "the vote margins (extension; reference discards them)")
 
     p = sub.add_parser("call_consensus", help="run model inference, write prediction HDF5")
     _add_common_consensus_args(p)
     p.add_argument("-p", "--output_prefix", default="helen_predictions")
+    p.add_argument("--qualities", action="store_true",
+                   help="also store per-column phred confidences (needed for "
+                        "stitch --fastq)")
 
     p = sub.add_parser("stitch", help="stitch prediction HDF5 files into FASTA")
     p.add_argument("-i", "--input_dir", required=True,
@@ -85,6 +91,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output_dir", default="./output/")
     p.add_argument("-p", "--output_prefix", default="HELEN_prediction")
     p.add_argument("-t", "--threads", type=int, default=4)
+    p.add_argument("--fastq", action="store_true",
+                   help="emit FASTQ (requires a --qualities prediction store)")
 
     p = sub.add_parser("train", help="train the transducer model")
     p.add_argument("--train_image_dir", required=True)
@@ -217,6 +225,7 @@ def main(argv=None) -> int:
             host_shard=args.host_shard,
             num_writers=args.writers,
             data_parallel=not args.no_data_parallel,
+            fastq=args.fastq,
         )
         print(fasta)
         return 0
@@ -238,6 +247,7 @@ def main(argv=None) -> int:
             pack=args.pack,
             host_shard=args.host_shard,
             num_writers=args.writers,
+            qualities=args.qualities,
         )
         for f in files:
             print(f)
@@ -251,6 +261,7 @@ def main(argv=None) -> int:
             output_dir=args.output_dir,
             output_prefix=args.output_prefix,
             threads=args.threads,
+            fastq=args.fastq,
         )
         print(fasta)
         return 0

@@ -40,25 +40,32 @@ class ConsensusStep:
     """
 
     def __init__(self, params, data_parallel: bool = True, precision=None,
-                 backend: Optional[str] = None):
+                 backend: Optional[str] = None, qualities: bool = False):
         import jax
         import jax.numpy as jnp
 
-        from helen_tpu.models.transducer import consensus_labels, resolve_backend
+        from helen_tpu.models.transducer import (
+            consensus_labels,
+            consensus_labels_and_quality,
+            resolve_backend,
+        )
 
         devices = jax.local_devices()
         self.shard_multiple = len(devices) if data_parallel else 1
+        self.qualities = qualities
         # auto: the fused Pallas window kernel (fp32 parity path) on TPU,
         # plain lax.scan elsewhere; explicit Pallas backends fall back to
         # xla off TPU; non-inference backends (e.g. the DEFAULT-precision
         # pallas_train kernel) are rejected — see resolve_backend
         self.backend = backend = resolve_backend(backend, "infer", log,
                                                  params=params)
+        n_out = 3 if qualities else 2
 
         def fn(p, images_u8):
             images = images_u8.astype(jnp.float32)
-            return consensus_labels(p, images, WINDOW, MODEL,
-                                    precision=precision, backend=backend)
+            f = consensus_labels_and_quality if qualities else consensus_labels
+            return f(p, images, WINDOW, MODEL,
+                     precision=precision, backend=backend)
 
         self._batch_sharding = None
         if self.shard_multiple > 1:
@@ -77,7 +84,7 @@ class ConsensusStep:
                 fn,
                 mesh=mesh,
                 in_specs=(P(), P("data")),
-                out_specs=(P("data"), P("data")),
+                out_specs=tuple([P("data")] * n_out),
                 check_vma=False,  # the zero init_hidden is vma-invariant
             )
             self._jfn = jax.jit(sfn)
@@ -96,11 +103,10 @@ class ConsensusStep:
         return self._jfn(self._params, images_u8)
 
     @staticmethod
-    def read(handle) -> Tuple[np.ndarray, np.ndarray]:
-        base, rle = handle
-        return np.asarray(base), np.asarray(rle)
+    def read(handle) -> Tuple[np.ndarray, ...]:
+        return tuple(np.asarray(x) for x in handle)
 
-    def __call__(self, images_u8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    def __call__(self, images_u8: np.ndarray) -> Tuple[np.ndarray, ...]:
         return self.read(self.submit(images_u8))
 
 
@@ -109,6 +115,7 @@ def make_consensus_step(
     data_parallel: bool = True,
     precision=None,
     backend: Optional[str] = None,
+    qualities: bool = False,
 ) -> Tuple[ConsensusStep, int]:
     """Build the jitted consensus step; see ConsensusStep.
 
@@ -116,7 +123,7 @@ def make_consensus_step(
     shard_multiple (the batch is sharded across local devices on a 1-D
     'data' mesh when data_parallel and more than one device is present).
     """
-    step = ConsensusStep(params, data_parallel, precision, backend)
+    step = ConsensusStep(params, data_parallel, precision, backend, qualities)
     return step, step.shard_multiple
 
 
@@ -140,6 +147,7 @@ def call_consensus(
     pack: bool = False,
     host_shard: str = "image",
     num_writers: int = 1,
+    qualities: bool = False,
 ) -> List[str]:
     """Run consensus calling over a directory of MarginPolish images.
 
@@ -223,7 +231,8 @@ def call_consensus(
         raise ValueError(f"no images found in {len(files)} input files")
     log.info("%d images across %d files", len(dataset), len(files))
 
-    step, shard_multiple = make_consensus_step(params, data_parallel, precision, backend)
+    step, shard_multiple = make_consensus_step(params, data_parallel, precision,
+                                               backend, qualities)
     log.info("consensus backend: %s", step.backend)
     eff_batch = _round_up(batch_size, shard_multiple)
 
@@ -255,13 +264,16 @@ def call_consensus(
             nonlocal written, skipped
             b, handle = pending
             with timer.stage("tpu_read"):
-                base_labels, rle_labels = step.read(handle)
+                out = step.read(handle)
+            base_labels, rle_labels = out[0], out[1]
+            qual_rows = out[2] if qualities else None
             windows.add(b.valid * n_windows)
             with timer.stage("write"):
                 for j, rec in enumerate(b.records):
                     wrote = store.write_prediction(
                         rec.contig, rec.contig_start, rec.contig_end, rec.chunk_id,
                         rec.position, base_labels[j], rle_labels[j],
+                        qual_rows[j] if qual_rows is not None else None,
                     )
                     # first-write-wins: records already in the store (resume)
                     # count as skipped, not written

@@ -10,7 +10,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-from helen_tpu.io.fasta import write_fasta
+from helen_tpu.io.fasta import write_fasta, write_fastq
 from helen_tpu.io.prediction_store import list_contigs
 from helen_tpu.obs import StageTimer, get_logger
 from helen_tpu.stitch import Stitcher
@@ -24,11 +24,16 @@ def perform_stitch(
     output_dir: str,
     output_prefix: str = "HELEN_prediction",
     threads: int = 4,
+    fastq: bool = False,
 ) -> str:
     """Stitch all prediction files in a directory into one polished FASTA.
 
     Equivalent of reference StitchInterface.perform_stitch
-    (StitchInterface.py:40-106). Returns the FASTA path.
+    (StitchInterface.py:40-106). Returns the output path.
+
+    ``fastq=True`` emits ``<prefix>.fq`` with per-base phred qualities
+    instead (a helen_tpu extension; requires a store written with
+    ``--qualities``).
     """
     prediction_files = list_prediction_files(input_directory)
     if not prediction_files:
@@ -37,22 +42,23 @@ def perform_stitch(
     log.info("stitching %d contigs from %d prediction files", len(contigs), len(prediction_files))
 
     ensure_output_dir(output_dir)
-    fasta_path = os.path.join(output_dir, output_prefix + ".fa")
-    stitcher = Stitcher(threads=threads)
+    out_path = os.path.join(output_dir, output_prefix + (".fq" if fastq else ".fa"))
+    stitcher = Stitcher(threads=threads, with_quality=fastq)
 
     def records():
         # one pool spans all contigs (stitch_iter): later contigs' region
-        # work overlaps the in-order joins and streaming FASTA writes
-        for i, (contig, seq) in enumerate(
-            stitcher.stitch_iter(prediction_files, contigs)
-        ):
+        # work overlaps the in-order joins and streaming FASTA/FASTQ writes
+        for i, row in enumerate(stitcher.stitch_iter(prediction_files, contigs)):
             log.info("%04d/%04d: finished %s, polished length %d",
-                     i + 1, len(contigs), contig, len(seq))
-            yield contig, seq
+                     i + 1, len(contigs), row[0], len(row[1]))
+            yield row
 
-    n = write_fasta(fasta_path, records())
-    log.info("wrote %d contigs to %s", n, fasta_path)
-    return fasta_path
+    if fastq:
+        n = write_fastq(out_path, records())
+    else:
+        n = write_fasta(out_path, records())
+    log.info("wrote %d contigs to %s", n, out_path)
+    return out_path
 
 
 def polish(
@@ -70,8 +76,12 @@ def polish(
     host_shard: str = "image",
     data_parallel: bool = True,
     num_writers: int = 1,
+    fastq: bool = False,
 ) -> str:
     """Full polish: images -> consensus -> stitch -> polished FASTA path.
+
+    ``fastq=True`` turns on per-column quality emission at consensus and
+    writes <prefix>.fq with per-base phred qualities (helen_tpu extension).
 
     Multi-host jobs are coordinated: process 0 picks the predictions
     directory and broadcasts it (timestamps can differ across hosts), every
@@ -123,13 +133,15 @@ def polish(
             host_shard=host_shard,
             data_parallel=data_parallel,
             num_writers=num_writers,
+            qualities=fastq,
         )
-    fasta = os.path.join(output_dir, output_prefix + ".fa")
+    fasta = os.path.join(output_dir, output_prefix + (".fq" if fastq else ".fa"))
     if multi:
         multihost.barrier("consensus-shards-complete")
     if not multi or jax.process_index() == 0:
         with timer.stage("stitch"):
-            fasta = perform_stitch(pred_dir, output_dir, output_prefix, threads)
+            fasta = perform_stitch(pred_dir, output_dir, output_prefix, threads,
+                                   fastq=fastq)
     if multi:
         multihost.barrier("stitch-complete")
     log.info("polish complete:\n%s", timer.report())

@@ -219,6 +219,7 @@ class PredictionStore:
         position: np.ndarray,
         bases: np.ndarray,
         rles: np.ndarray,
+        quals: Optional[np.ndarray] = None,
     ) -> bool:
         """Write one image's predictions; duplicate (region, chunk) pairs are
         first-write-wins, matching the reference dedupe (DataStore.py:104-124).
@@ -263,6 +264,13 @@ class PredictionStore:
         )
         self._write_dataset(cg, b"bases", np.ascontiguousarray(bases, dtype=np.uint8))
         self._write_dataset(cg, b"rles", np.ascontiguousarray(rles, dtype=np.uint8))
+        if quals is not None:
+            # optional per-column phred confidence (--qualities); an EXTRA
+            # dataset inside the chunk group, invisible to schema-compatible
+            # readers that only fetch position/bases/rles
+            self._write_dataset(
+                cg, b"quals", np.ascontiguousarray(quals, dtype=np.uint8)
+            )
         return True
 
     def flush(self) -> None:
@@ -310,8 +318,8 @@ def list_region_keys(
 
 
 def read_region_chunks(
-    paths: Sequence[str], contig: str, region_key: str
-) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    paths: Sequence[str], contig: str, region_key: str, with_quals: bool = False
+) -> Iterator[Tuple[np.ndarray, ...]]:
     """Yield (position, bases, rles) per image chunk of a region, merged
     across prediction files, in globally sorted chunk-NAME order — the
     lexicographic string sort is deliberate: the reference also sorts the
@@ -320,7 +328,11 @@ def read_region_chunks(
     overlapping positions must follow string order ('10' < '2') to stitch
     identical sequences. A chunk present in several files (e.g. an
     overlapping resumed run) is taken from the first file in sorted-path
-    order, matching the store's first-write-wins dedupe."""
+    order, matching the store's first-write-wins dedupe.
+
+    ``with_quals=True`` yields 4-tuples whose last element is the chunk's
+    per-column phred array, or None when the store has no ``quals`` dataset
+    (written by ``--qualities`` runs only)."""
     per_file: List[Dict[str, "h5py.Group"]] = []
     for path in sorted(paths):
         cgrp = _contig_group(path, contig)  # cached per-thread
@@ -334,7 +346,7 @@ def read_region_chunks(
         for chunks in per_file:
             if name in chunks:
                 g = chunks[name]
-                yield (
+                out = (
                     # position must widen to int64 (uint32-wrapped padding
                     # rows participate in sorting); bases/rles stay uint8 —
                     # rle_decode consumes them at that width
@@ -342,6 +354,11 @@ def read_region_chunks(
                     np.asarray(g["bases"][()]),
                     np.asarray(g["rles"][()]),
                 )
+                if with_quals:
+                    q = (np.asarray(g["quals"][()])
+                         if "quals" in g else None)
+                    out = out + (q,)
+                yield out
                 break
 
 

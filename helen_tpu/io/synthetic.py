@@ -180,9 +180,11 @@ def write_prediction_file(
     image_config: ImageConfig = IMAGE,
     region_cols: int = 1000,
     overlap_cols: int = 80,
+    qual: "int | None" = None,
 ) -> None:
     """Write a prediction-schema HDF5 directly from truth labels (oracle
-    predictions) so stitch can be exercised without a model."""
+    predictions) so stitch can be exercised without a model. ``qual`` also
+    writes a constant per-column phred array (exercises the --fastq path)."""
     with PredictionStore(path, "w") as store:
         for contig, seq in contig_seqs.items():
             bases, runs = rle_encode(seq, max_run=image_config.num_rle_classes - 1)
@@ -200,6 +202,8 @@ def write_prediction_file(
                         position[cstart:cend],
                         region.bases[cstart:cend],
                         region.runs[cstart:cend],
+                        quals=(np.full(cend - cstart, qual, dtype=np.uint8)
+                               if qual is not None else None),
                     )
 
 

@@ -51,8 +51,9 @@ def _writer_main(path: str, mode: str, work_q, result_q) -> None:
                 store.flush()
                 result_q.put(("flushed", path))
                 continue
-            for contig, cs, ce, cid, position, bases, rles in item:
-                store.write_prediction(contig, cs, ce, cid, position, bases, rles)
+            for contig, cs, ce, cid, position, bases, rles, quals in item:
+                store.write_prediction(contig, cs, ce, cid, position, bases,
+                                       rles, quals)
         store.close()
         result_q.put(("done", path))
     except BaseException as exc:  # surfaced by the driver
@@ -121,7 +122,7 @@ class PredictionWriterPool:
         return (region, str(chunk_id)) in self._chunks
 
     def write_prediction(self, contig, contig_start, contig_end, chunk_id,
-                         position, bases, rles) -> bool:
+                         position, bases, rles, quals=None) -> bool:
         if "/" in contig:
             raise ValueError(
                 f"contig name {contig!r} contains '/', which is not "
@@ -143,7 +144,7 @@ class PredictionWriterPool:
         buf = self._buffers[w]
         buf.append(
             (contig, int(contig_start), int(contig_end), int(chunk_id),
-             position, bases, rles)
+             position, bases, rles, quals)
         )
         if len(buf) >= self._block_records:
             self._ship(w)

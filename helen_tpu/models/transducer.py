@@ -257,6 +257,44 @@ def consensus_labels(
     )
 
 
+def consensus_labels_and_quality(
+    params: Params,
+    images: jnp.ndarray,
+    window_cfg: WindowConfig = WINDOW,
+    model_cfg: ModelConfig = MODEL,
+    precision=None,
+    backend: str = "xla",
+    max_q: int = 60,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Labels plus a per-column phred-scaled confidence (uint8, capped).
+
+    The overlap vote already computes summed per-class softmax probabilities
+    and the reference then throws them away (predict_gpu.py:155-159 argmaxes
+    and stores labels only); here the normalized winning-class probability
+    of BOTH heads becomes a quality: q = -10 log10(1 - p_base * p_rle),
+    clipped to [0, max_q]. Emitted per pileup column; stitch expands it per
+    base alongside the RLE decode (stitch.engine) for FASTQ output.
+    """
+    base_probs, rle_probs = consensus_probs(
+        params, images, window_cfg, model_cfg, precision, backend
+    )
+    base = jnp.argmax(base_probs, axis=-1)
+    rle = jnp.argmax(rle_probs, axis=-1)
+    p_base = jnp.max(base_probs, axis=-1) / jnp.maximum(
+        base_probs.sum(axis=-1), 1e-12
+    )
+    p_rle = jnp.max(rle_probs, axis=-1) / jnp.maximum(
+        rle_probs.sum(axis=-1), 1e-12
+    )
+    err = jnp.clip(1.0 - p_base * p_rle, 10.0 ** (-(max_q / 10.0)), 1.0)
+    q = jnp.clip(-10.0 * jnp.log10(err), 0.0, float(max_q))
+    return (
+        base.astype(jnp.uint8),
+        rle.astype(jnp.uint8),
+        jnp.round(q).astype(jnp.uint8),
+    )
+
+
 INFER_BACKENDS = ("xla", "pallas", "pallas_fast")
 TRAIN_BACKENDS = ("xla", "pallas_train")
 

@@ -132,6 +132,53 @@ def merge_region_chunks(
     return rle_decode(bases[keep], rles[keep])
 
 
+def merge_region_chunks_with_quality(
+    chunks: Iterable[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+) -> Tuple[str, str]:
+    """merge_region_chunks for --fastq: chunks carry per-column phred
+    arrays; returns (sequence, phred+33 quality string) expanded per base
+    (each decoded base inherits its column's quality). Selection order is
+    identical to the quality-less merge, so the sequence is byte-identical
+    to what merge_region_chunks emits."""
+    pos_list, base_list, rle_list, qual_list = [], [], [], []
+    for position, bases, rles, quals in chunks:
+        if quals is None:
+            raise ValueError(
+                "prediction store has no 'quals' dataset — re-run consensus "
+                "with --qualities to produce FASTQ output"
+            )
+        pos_list.append(np.asarray(position, dtype=np.int64))
+        base_list.append(np.asarray(bases))
+        rle_list.append(np.asarray(rles))
+        qual_list.append(np.asarray(quals, dtype=np.uint8))
+    if not pos_list:
+        return "", ""
+    position = np.concatenate(pos_list, axis=0)
+    bases = np.concatenate(base_list, axis=0)
+    rles = np.concatenate(rle_list, axis=0)
+    quals = np.concatenate(qual_list, axis=0)
+    valid = (position[:, 0] >= 0) & (position[:, 1] >= 0)
+    position, bases, rles, quals = (
+        position[valid], bases[valid], rles[valid], quals[valid]
+    )
+    if position.shape[0] == 0:
+        return "", ""
+    order = np.lexsort((position[:, 2], position[:, 1], position[:, 0]))
+    p = position[order]
+    first = np.ones(p.shape[0], dtype=bool)
+    first[1:] = (p[1:] != p[:-1]).any(axis=1)
+    keep = order[first]
+    seq = rle_decode(bases[keep], rles[keep])
+    # per-base quality: base class 0 emits nothing (label_decoder contract),
+    # so the emitted count per column is rle for real bases and 0 otherwise
+    counts = np.where(bases[keep] > 0, rles[keep].astype(np.int64), 0)
+    qual = np.repeat(
+        np.minimum(quals[keep].astype(np.int64), 93) + 33, counts
+    ).astype(np.uint8).tobytes().decode("ascii")
+    assert len(qual) == len(seq), (len(qual), len(seq))
+    return seq, qual
+
+
 class _SegmentRope:
     """Append/tail-oriented string accumulator.
 
@@ -191,26 +238,37 @@ class _SegmentRope:
 
 
 def alignment_stitch(
-    sequence_chunks: Sequence[Tuple[str, int, int, str]],
+    sequence_chunks: Sequence[Tuple],
     cfg: StitchConfig = STITCH,
-) -> Tuple[str, int, int, str]:
+) -> Tuple:
     """Join sorted overlapping region sequences with SSW anchors.
 
     Faithful to the reference merge loop (Stitch.py:96-190) including its
     N-fill fallback behaviors; the accumulation is segment-based (see
     _SegmentRope) so cost is linear in contig length.
+
+    Chunks are (contig, start, end, sequence[, quality]); when the optional
+    per-base quality string is present (--fastq runs), a second rope mirrors
+    every sequence operation (anchor joins cut both at the same offsets;
+    N fills get quality '!') and the return gains the joined quality —
+    the sequence itself is byte-identical either way.
     """
     chunks = sorted(sequence_chunks, key=lambda c: (c[1], c[2]))
-    contig, running_start, running_end, first_sequence = chunks[0]
+    contig, running_start, running_end, first_sequence = chunks[0][:4]
+    with_quality = len(chunks[0]) > 4
     rope = _SegmentRope(first_sequence)
+    qrope = _SegmentRope(chunks[0][4]) if with_quality else None
     aligner = Aligner(cfg.match_score, cfg.mismatch_penalty,
                       cfg.gap_open_penalty, cfg.gap_extend_penalty)
     filt = Filter()
-    for _, this_start, this_end, this_sequence in chunks[1:]:
+    for chunk in chunks[1:]:
+        _, this_start, this_end, this_sequence = chunk[:4]
+        this_quality = chunk[4] if with_quality else None
         if this_start < running_end:
             overlap_bases = running_end - this_start
             overlap_bases = overlap_bases + int(overlap_bases * cfg.base_error_rate)
             left_chunk = rope.tail(overlap_bases)
+            qleft = qrope.tail(overlap_bases) if with_quality else None
             right_chunk = this_sequence[:overlap_bases]
             alignment = Alignment()
             aligner.SetReferenceSequence(left_chunk, len(left_chunk))
@@ -222,6 +280,9 @@ def alignment_stitch(
                 if len(right_chunk) > 10:
                     rope.append(10 * "N")
                     rope.append(right_chunk)
+                    if with_quality:
+                        qrope.append(10 * "!")
+                        qrope.append(this_quality[:overlap_bases])
                     running_end = this_end
             else:
                 pos_a, pos_b = anchor_positions(
@@ -235,11 +296,18 @@ def alignment_stitch(
                         # running[:-ov] + left_chunk + 10N + this == running + 10N + this
                         rope.append(10 * "N")
                         rope.append(this_sequence)
+                        if with_quality:
+                            qrope.append(10 * "!")
+                            qrope.append(this_quality)
                         running_end = this_end
                 else:
                     rope.drop_tail(overlap_bases)
                     rope.append(left_chunk[:pos_a])
                     rope.append(this_sequence[pos_b:])
+                    if with_quality:
+                        qrope.drop_tail(overlap_bases)
+                        qrope.append(qleft[:pos_a])
+                        qrope.append(this_quality[pos_b:])
                     running_end = this_end
         else:
             log.warning("no overlap between chunks at %s:%d (running end %d)",
@@ -247,7 +315,13 @@ def alignment_stitch(
             if len(this_sequence) > 10:
                 rope.append(10 * "N")
                 rope.append(this_sequence)
+                if with_quality:
+                    qrope.append(10 * "!")
+                    qrope.append(this_quality)
                 running_end = this_end
+    if with_quality:
+        return (contig, running_start, running_end, rope.materialize(),
+                qrope.materialize())
     return contig, running_start, running_end, rope.materialize()
 
 
@@ -255,30 +329,47 @@ def _stitch_key_group(
     contig: str,
     key_group: Sequence[Tuple[Tuple[str, ...], str, int, int]],
     cfg: StitchConfig,
-) -> Tuple[str, int, int, str]:
+    with_quality: bool = False,
+) -> Tuple:
     """Worker: decode each region in the group, then join them.
     (Equivalent of reference Stitch.small_chunk_stitch.) Each region's chunks
     are merged across all prediction files holding them (image-granular
     multi-host shards interleave a region's chunks across host files)."""
     region_sequences = []
     for file_paths, region_key, start, end in key_group:
-        seq = merge_region_chunks(read_region_chunks(file_paths, contig, region_key))
-        region_sequences.append((contig, int(start), int(end), seq))
+        if with_quality:
+            seq, qual = merge_region_chunks_with_quality(
+                read_region_chunks(file_paths, contig, region_key, with_quals=True)
+            )
+            region_sequences.append((contig, int(start), int(end), seq, qual))
+        else:
+            seq = merge_region_chunks(read_region_chunks(file_paths, contig, region_key))
+            region_sequences.append((contig, int(start), int(end), seq))
     return alignment_stitch(region_sequences, cfg)
 
 
 class Stitcher:
-    """Contig-level stitch driver with process-pool fan-out."""
+    """Contig-level stitch driver with process-pool fan-out.
 
-    def __init__(self, cfg: StitchConfig = STITCH, threads: int = 4):
+    ``with_quality=True`` (FASTQ output) threads per-base qualities through
+    the merges and joins; ``stitch_iter`` then yields (contig, sequence,
+    quality) triples instead of pairs.
+    """
+
+    def __init__(self, cfg: StitchConfig = STITCH, threads: int = 4,
+                 with_quality: bool = False):
         self.cfg = cfg
         self.threads = max(1, threads)
+        self.with_quality = with_quality
 
-    def _join(self, results: List[Tuple[str, int, int, str]]) -> str:
+    def _result(self, joined: Tuple):
+        return joined[3:5] if self.with_quality else joined[3]
+
+    def _join(self, results: List[Tuple]):
         if not results:
-            return ""
+            return ("", "") if self.with_quality else ""
         # alignment_stitch sorts its input by (start, end) itself
-        return alignment_stitch(results, self.cfg)[3]
+        return self._result(alignment_stitch(results, self.cfg))
 
     def _plan(self, prediction_files: List[str], contigs: Sequence[str]):
         plan = []
@@ -300,11 +391,17 @@ class Stitcher:
         its pool per contig, Stitch.py:277-299)."""
         plan = self._plan(prediction_files, contigs)
         total_groups = sum(len(g) for _, g in plan)
+
+        def emit(contig, joined):
+            return ((contig, *joined) if self.with_quality
+                    else (contig, joined))
+
         if self.threads == 1 or total_groups <= 1:
             for contig, groups in plan:
-                yield contig, self._join(
-                    [_stitch_key_group(contig, g, self.cfg) for g in groups]
-                )
+                yield emit(contig, self._join(
+                    [_stitch_key_group(contig, g, self.cfg, self.with_quality)
+                     for g in groups]
+                ))
             return
         # spawn (not fork): the parent may hold JAX/TPU runtime threads,
         # and forking a multithreaded process can deadlock
@@ -317,19 +414,21 @@ class Stitcher:
             log.warning("stitch process pool unavailable (%s); running "
                         "in-process", exc)
             for contig, groups in plan:
-                yield contig, self._join(
-                    [_stitch_key_group(contig, g, self.cfg) for g in groups]
-                )
+                yield emit(contig, self._join(
+                    [_stitch_key_group(contig, g, self.cfg, self.with_quality)
+                     for g in groups]
+                ))
             return
         done = False
         try:
             futures = {
-                contig: [ex.submit(_stitch_key_group, contig, g, self.cfg)
+                contig: [ex.submit(_stitch_key_group, contig, g, self.cfg,
+                                   self.with_quality)
                          for g in groups]
                 for contig, groups in plan
             }
             for contig, groups in plan:
-                results: List[Tuple[str, int, int, str]] = []
+                results: List[Tuple] = []
                 failed_groups: List[Sequence] = []
                 for fut, g in zip(futures[contig], groups):
                     # fut.exception() blocks until done and RETURNS the error
@@ -344,8 +443,10 @@ class Stitcher:
                 # a failed worker must never silently shrink the output —
                 # retry its group here and let real errors propagate
                 for g in failed_groups:
-                    results.append(_stitch_key_group(contig, g, self.cfg))
-                yield contig, self._join(results)
+                    results.append(
+                        _stitch_key_group(contig, g, self.cfg, self.with_quality)
+                    )
+                yield emit(contig, self._join(results))
             done = True
         finally:
             # on abandonment (consumer error/GeneratorExit mid-iteration),
@@ -354,8 +455,8 @@ class Stitcher:
             ex.shutdown(wait=done, cancel_futures=not done)
 
     def stitch(self, prediction_files: List[str], contig: str) -> str:
-        for _, sequence in self.stitch_iter(prediction_files, [contig]):
-            return sequence
+        for row in self.stitch_iter(prediction_files, [contig]):
+            return row[1]  # sequence (rows are (contig, seq[, qual]))
         return ""
 
 
