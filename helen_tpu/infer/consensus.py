@@ -64,7 +64,8 @@ class ConsensusStep:
         def fn(p, images_u8):
             images = images_u8.astype(jnp.float32)
             f = consensus_labels_and_quality if qualities else consensus_labels
-            return f(p, images, WINDOW, MODEL,
+            # model geometry is recovered from the params (models.transducer)
+            return f(p, images, WINDOW,
                      precision=precision, backend=backend)
 
         self._batch_sharding = None
@@ -236,6 +237,14 @@ def call_consensus(
     log.info("consensus backend: %s", step.backend)
     eff_batch = _round_up(batch_size, shard_multiple)
 
+    # resume must skip chunks no matter which shard layout a previous run
+    # used (a different --writers count, or the single-writer file): sibling
+    # shards outside this run's own paths contribute dedupe keys only
+    import glob as _glob
+
+    siblings = sorted(_glob.glob(
+        os.path.join(output_dir, f"{output_prefix}_{shard_id}*.hdf")
+    )) if resume else []
     if num_writers > 1:
         from helen_tpu.io.writer_pool import PredictionWriterPool
 
@@ -243,12 +252,19 @@ def call_consensus(
             os.path.join(output_dir, f"{output_prefix}_{shard_id}_w{k}.hdf")
             for k in range(num_writers)
         ]
+        extra = [p for p in siblings if p not in pool_paths]
         mode = "a" if (resume and any(os.path.exists(p) for p in pool_paths)) else "w"
-        store_cm = PredictionWriterPool(pool_paths, mode)
+        store_cm = PredictionWriterPool(pool_paths, mode, extra_key_files=extra)
         out_paths = pool_paths
     else:
         mode = "a" if (resume and os.path.exists(out_path)) else "w"
         store_cm = PredictionStore(out_path, mode)
+        if resume:
+            from helen_tpu.io.writer_pool import _chunk_keys
+
+            for p in siblings:
+                if p != out_path:
+                    store_cm.preload_chunk_keys(_chunk_keys(p))
         out_paths = [out_path]
     timer = StageTimer()
     windows = Throughput(unit="windows")

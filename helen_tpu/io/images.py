@@ -123,6 +123,14 @@ class MarginPolishDataset:
             grp = self._handle(path)["images"][name]
             image = np.asarray(grp["image"][()], dtype=np.uint8)
             position = np.asarray(grp["position"][()], dtype=np.int64)
+            contig = _decode_contig(grp["contig"][()])
+            contig_start = int(np.asarray(grp["contig_start"][()]).reshape(-1)[0])
+            contig_end = int(np.asarray(grp["contig_end"][()]).reshape(-1)[0])
+            chunk_id = int(np.asarray(grp["feature_chunk_idx"][()]).reshape(-1)[0])
+            label_base = label_rle = None
+            if self.with_labels:
+                label_base = np.asarray(grp["label_base"][()], dtype=np.int64)
+                label_rle = np.asarray(grp["label_run_length"][()], dtype=np.int64)
         except KeyError as exc:
             raise KeyError(
                 f"{path}: images/{name} is missing a dataset ({exc}) — "
@@ -137,14 +145,6 @@ class MarginPolishDataset:
                 f"(<= {self.cfg.seq_length}, {self.cfg.feature_dim}) "
                 "MarginPolish pileup columns"
             )
-        contig = _decode_contig(grp["contig"][()])
-        contig_start = int(np.asarray(grp["contig_start"][()]).reshape(-1)[0])
-        contig_end = int(np.asarray(grp["contig_end"][()]).reshape(-1)[0])
-        chunk_id = int(np.asarray(grp["feature_chunk_idx"][()]).reshape(-1)[0])
-        label_base = label_rle = None
-        if self.with_labels:
-            label_base = np.asarray(grp["label_base"][()], dtype=np.int64)
-            label_rle = np.asarray(grp["label_run_length"][()], dtype=np.int64)
         image, position = pad_image(image, position, self.cfg.seq_length)
         if self.with_labels:
             label_base = _pad_labels(label_base, self.cfg.seq_length)

@@ -206,6 +206,12 @@ class PredictionStore:
                     continue
         return out
 
+    def preload_chunk_keys(self, keys) -> None:
+        """Union extra (region, chunk) keys into the dedupe set — used by a
+        resumed run to skip chunks that live in OTHER shard files (e.g. a
+        previous --writers pool's shards)."""
+        self._chunks.update(tuple(k) for k in keys)
+
     def has_chunk(self, contig: str, contig_start: int, contig_end: int, chunk_id: int) -> bool:
         region = f"{contig}-{contig_start}-{contig_end}"
         return (region, str(chunk_id)) in self._chunks

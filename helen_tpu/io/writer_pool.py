@@ -34,6 +34,26 @@ _SENTINEL = "stop"
 _FLUSH = "flush"
 
 
+def _chunk_keys(path: str) -> Set[Tuple[str, str]]:
+    """(region, chunk) keys present in an existing prediction file."""
+    import h5py
+
+    from helen_tpu.io.prediction_store import PRED_ROOT
+
+    keys: Set[Tuple[str, str]] = set()
+    if not os.path.exists(path):
+        return keys
+    with h5py.File(path, "r") as f:
+        if PRED_ROOT not in f:
+            return keys
+        for contig in f[PRED_ROOT]:
+            for region in f[PRED_ROOT][contig]:
+                for k in f[PRED_ROOT][contig][region]:
+                    if k not in ("contig_start", "contig_end"):
+                        keys.add((region, k))
+    return keys
+
+
 def _writer_main(path: str, mode: str, work_q, result_q) -> None:
     """Worker: own one shard file; apply record blocks in arrival order."""
     try:
@@ -66,9 +86,17 @@ class PredictionWriterPool:
     """K spawn-processes, each writing one prediction shard file."""
 
     def __init__(self, paths: Sequence[str], mode: str = "w",
-                 queue_depth: int = 8, block_records: int = 128):
+                 queue_depth: int = 8, block_records: int = 128,
+                 extra_key_files: Sequence[str] = ()):
         assert len(paths) >= 1
         self.paths: List[str] = list(paths)
+        # resume across pool-size changes: shards a PREVIOUS run wrote under
+        # a different --writers count (or the single-writer file) are not in
+        # ``paths``; their (region, chunk) keys preload the dedupe set so
+        # those chunks are skipped, not recomputed and duplicated
+        self._preload: Set[Tuple[str, str]] = set()
+        for path in extra_key_files:
+            self._preload.update(_chunk_keys(path))
         # records buffer per writer and ship in blocks: a multiprocessing
         # queue put costs ~1 ms in feeder-thread/pickle overhead per ITEM,
         # which at one record per item is slower than just writing locally;
@@ -113,6 +141,7 @@ class PredictionWriterPool:
                 self._abort()
                 raise RuntimeError(f"prediction writer failed to start: {payload}")
             self._chunks.update(tuple(k) for k in payload)
+        self._chunks.update(self._preload)
 
     # -- PredictionStore-compatible surface --------------------------------
 
@@ -169,11 +198,29 @@ class PredictionWriterPool:
         self._check_errors()
         for w in range(len(self._work_qs)):
             self._ship(w)
-        for q in self._work_qs:
-            q.put(_FLUSH)
+        for w, q in enumerate(self._work_qs):
+            try:
+                q.put(_FLUSH, timeout=600)
+            except queue_mod.Full:
+                self._abort()
+                raise RuntimeError(
+                    f"prediction writer {w} stopped consuming (process killed?)"
+                )
         pending = len(self._work_qs)
         while pending:
-            kind, payload = self._result_q.get()
+            # poll with liveness checks: a worker killed without reporting
+            # (OOM/SIGKILL) must raise here, never hang the polish job
+            try:
+                kind, payload = self._result_q.get(timeout=5)
+            except queue_mod.Empty:
+                dead = [p for p in self._procs if not p.is_alive()]
+                if dead:
+                    self._abort()
+                    raise RuntimeError(
+                        "prediction writer died during flush (exit codes "
+                        f"{[p.exitcode for p in dead]})"
+                    )
+                continue
             if kind == "error":
                 self._abort()
                 raise RuntimeError(f"prediction writer failed: {payload}")
@@ -189,12 +236,21 @@ class PredictionWriterPool:
         for q in self._work_qs:
             q.put(_SENTINEL)
         done = 0
+        waited = 0.0
         while done < len(self._procs):
             try:
-                kind, payload = self._result_q.get(timeout=600)
+                kind, payload = self._result_q.get(timeout=5)
             except queue_mod.Empty:
-                self._abort()
-                raise RuntimeError("prediction writer hung during close")
+                waited += 5
+                # every worker enqueues "done" before exiting, so an empty
+                # queue with no live workers means one died mid-write
+                if all(not p.is_alive() for p in self._procs) or waited > 600:
+                    self._abort()
+                    raise RuntimeError(
+                        "prediction writer hung or died during close (exit "
+                        f"codes {[p.exitcode for p in self._procs]})"
+                    )
+                continue
             if kind == "error":
                 self._abort()
                 raise RuntimeError(f"prediction writer failed: {payload}")

@@ -166,7 +166,7 @@ def consensus_probs(
     params: Params,
     images: jnp.ndarray,
     window_cfg: WindowConfig = WINDOW,
-    model_cfg: ModelConfig = MODEL,
+    model_cfg: "ModelConfig | None" = None,
     precision=None,
     backend: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -199,8 +199,20 @@ def consensus_probs(
     starts = jnp.asarray(window_cfg.starts(L), dtype=jnp.int32)
     # geometry comes from the params themselves (like the reference, which
     # rebuilds its model from checkpoint hidden_size/gru_layers) so any
-    # reference-compatible model geometry runs without config plumbing
+    # reference-compatible model geometry runs without config plumbing; an
+    # explicitly passed model_cfg must AGREE — silently ignoring a caller's
+    # requested dimensions would be worse than refusing
     geom = model_geometry(params)
+    if model_cfg is not None and (
+        model_cfg.hidden_size != geom.hidden_size
+        or model_cfg.gru_layers != geom.gru_layers
+        or model_cfg.input_features != geom.input_features
+        or model_cfg.num_base_classes != geom.num_base_classes
+        or model_cfg.num_rle_classes != geom.num_rle_classes
+    ):
+        raise ValueError(
+            f"model_cfg {model_cfg} does not match the params' geometry {geom}"
+        )
     nb = geom.num_base_classes
     nr = geom.num_rle_classes
 
@@ -243,7 +255,7 @@ def consensus_labels(
     params: Params,
     images: jnp.ndarray,
     window_cfg: WindowConfig = WINDOW,
-    model_cfg: ModelConfig = MODEL,
+    model_cfg: "ModelConfig | None" = None,
     precision=None,
     backend: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -261,7 +273,7 @@ def consensus_labels_and_quality(
     params: Params,
     images: jnp.ndarray,
     window_cfg: WindowConfig = WINDOW,
-    model_cfg: ModelConfig = MODEL,
+    model_cfg: "ModelConfig | None" = None,
     precision=None,
     backend: str = "xla",
     max_q: int = 60,

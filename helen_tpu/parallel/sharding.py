@@ -62,6 +62,7 @@ def make_sharded_train_step(
     tx,
     image_len: Optional[int] = None,
     precision=None,
+    gru_layers: int = 1,
 ) -> Callable:
     """Jit the full TBPTT training step over a ("data", "model") mesh with
     batch-sharded data and tensor-sharded params.
@@ -81,7 +82,7 @@ def make_sharded_train_step(
     # wraps it in shard_map instead.
     fn = build_tbptt_fn(tx, image_len=image_len, precision=precision)
 
-    pspecs = param_partition_specs()
+    pspecs = param_partition_specs(gru_layers=gru_layers)
     param_sh = jax.tree_util.tree_map(
         lambda spec: NamedSharding(mesh, spec), pspecs,
         is_leaf=lambda x: isinstance(x, P),
@@ -112,17 +113,17 @@ def shard_params(mesh, params):
     return jax.device_put(params, shardings)
 
 
-def make_sharded_consensus_fn(mesh, precision=None) -> Callable:
+def make_sharded_consensus_fn(mesh, precision=None, gru_layers: int = 1) -> Callable:
     """Jit the flagship inference step (full-image windowed vote) over the
     mesh: batch on "data", params tensor-sharded on "model"."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from helen_tpu.config import MODEL, WINDOW
+    from helen_tpu.config import WINDOW
     from helen_tpu.models.transducer import consensus_labels
 
-    pspecs = param_partition_specs()
+    pspecs = param_partition_specs(gru_layers=gru_layers)
     param_sh = jax.tree_util.tree_map(
         lambda spec: NamedSharding(mesh, spec), pspecs,
         is_leaf=lambda x: isinstance(x, P),
@@ -131,7 +132,8 @@ def make_sharded_consensus_fn(mesh, precision=None) -> Callable:
 
     def fn(params, images_u8):
         images = images_u8.astype(jnp.float32)
-        return consensus_labels(params, images, WINDOW, MODEL, precision=precision)
+        # geometry is recovered from the params (models.transducer)
+        return consensus_labels(params, images, WINDOW, precision=precision)
 
     return jax.jit(
         fn,

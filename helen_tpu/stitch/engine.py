@@ -91,6 +91,34 @@ def rle_decode(bases: np.ndarray, rles: np.ndarray) -> str:
     return buf.raw[:n].decode("ascii")
 
 
+def _dedupe_region_rows(position: np.ndarray, *arrays: np.ndarray):
+    """The parity-critical row selection shared by both region merges:
+    drop padding rows, stable-lexsort by (pos, insert, split), keep the
+    FIRST row per key — exactly the dedupe the reference's dict insert
+    gives (Stitch.py:227-245). Returns the kept rows of each array, or
+    None when nothing survives.
+
+    NOTE on the padding mask: rows read back from the prediction store can
+    never be negative — the store writes uint32 like the reference, wrapping
+    (-1,-1,-1) padding to 4294967295 (prediction_store.write_prediction) —
+    so for store data this filters nothing and the wrapped padding dedupes
+    to one tail entry, in both pipelines. The mask still matters for direct
+    in-memory callers.
+    """
+    valid = (position[:, 0] >= 0) & (position[:, 1] >= 0)
+    position = position[valid]
+    arrays = tuple(a[valid] for a in arrays)
+    if position.shape[0] == 0:
+        return None
+    # np.lexsort is stable, so equal keys keep arrival order (first write wins)
+    order = np.lexsort((position[:, 2], position[:, 1], position[:, 0]))
+    p = position[order]
+    first = np.ones(p.shape[0], dtype=bool)
+    first[1:] = (p[1:] != p[:-1]).any(axis=1)
+    keep = order[first]
+    return tuple(a[keep] for a in arrays)
+
+
 def merge_region_chunks(
     chunks: Iterable[Tuple[np.ndarray, np.ndarray, np.ndarray]]
 ) -> str:
@@ -109,27 +137,15 @@ def merge_region_chunks(
         rle_list.append(np.asarray(rles))
     if not pos_list:
         return ""
-    position = np.concatenate(pos_list, axis=0)
-    bases = np.concatenate(base_list, axis=0)
-    rles = np.concatenate(rle_list, axis=0)
-    # mirrors the reference's "skip pos<0" (Stitch.py:232-233). NOTE: rows
-    # read back from the prediction store can never be negative — the store
-    # writes uint32 like the reference, wrapping (-1,-1,-1) padding to
-    # 4294967295 (see prediction_store.write_prediction) — so for store data
-    # this filters nothing and the wrapped padding dedupes to one tail entry,
-    # in both pipelines. The mask still matters for direct in-memory callers.
-    valid = (position[:, 0] >= 0) & (position[:, 1] >= 0)
-    position, bases, rles = position[valid], bases[valid], rles[valid]
-    if position.shape[0] == 0:
+    kept = _dedupe_region_rows(
+        np.concatenate(pos_list, axis=0),
+        np.concatenate(base_list, axis=0),
+        np.concatenate(rle_list, axis=0),
+    )
+    if kept is None:
         return ""
-    # np.lexsort is stable, so equal keys keep arrival order — exactly the
-    # first-write-wins dedupe the reference's dict insert gives
-    order = np.lexsort((position[:, 2], position[:, 1], position[:, 0]))
-    p = position[order]
-    first = np.ones(p.shape[0], dtype=bool)
-    first[1:] = (p[1:] != p[:-1]).any(axis=1)
-    keep = order[first]
-    return rle_decode(bases[keep], rles[keep])
+    bases, rles = kept
+    return rle_decode(bases, rles)
 
 
 def merge_region_chunks_with_quality(
@@ -137,8 +153,8 @@ def merge_region_chunks_with_quality(
 ) -> Tuple[str, str]:
     """merge_region_chunks for --fastq: chunks carry per-column phred
     arrays; returns (sequence, phred+33 quality string) expanded per base
-    (each decoded base inherits its column's quality). Selection order is
-    identical to the quality-less merge, so the sequence is byte-identical
+    (each decoded base inherits its column's quality). Row selection goes
+    through the same _dedupe_region_rows, so the sequence is byte-identical
     to what merge_region_chunks emits."""
     pos_list, base_list, rle_list, qual_list = [], [], [], []
     for position, bases, rles, quals in chunks:
@@ -153,27 +169,21 @@ def merge_region_chunks_with_quality(
         qual_list.append(np.asarray(quals, dtype=np.uint8))
     if not pos_list:
         return "", ""
-    position = np.concatenate(pos_list, axis=0)
-    bases = np.concatenate(base_list, axis=0)
-    rles = np.concatenate(rle_list, axis=0)
-    quals = np.concatenate(qual_list, axis=0)
-    valid = (position[:, 0] >= 0) & (position[:, 1] >= 0)
-    position, bases, rles, quals = (
-        position[valid], bases[valid], rles[valid], quals[valid]
+    kept = _dedupe_region_rows(
+        np.concatenate(pos_list, axis=0),
+        np.concatenate(base_list, axis=0),
+        np.concatenate(rle_list, axis=0),
+        np.concatenate(qual_list, axis=0),
     )
-    if position.shape[0] == 0:
+    if kept is None:
         return "", ""
-    order = np.lexsort((position[:, 2], position[:, 1], position[:, 0]))
-    p = position[order]
-    first = np.ones(p.shape[0], dtype=bool)
-    first[1:] = (p[1:] != p[:-1]).any(axis=1)
-    keep = order[first]
-    seq = rle_decode(bases[keep], rles[keep])
+    bases, rles, quals = kept
+    seq = rle_decode(bases, rles)
     # per-base quality: base class 0 emits nothing (label_decoder contract),
     # so the emitted count per column is rle for real bases and 0 otherwise
-    counts = np.where(bases[keep] > 0, rles[keep].astype(np.int64), 0)
+    counts = np.where(bases > 0, rles.astype(np.int64), 0)
     qual = np.repeat(
-        np.minimum(quals[keep].astype(np.int64), 93) + 33, counts
+        np.minimum(quals.astype(np.int64), 93) + 33, counts
     ).astype(np.uint8).tobytes().decode("ascii")
     assert len(qual) == len(seq), (len(qual), len(seq))
     return seq, qual

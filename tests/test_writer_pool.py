@@ -113,3 +113,53 @@ def test_consensus_driver_with_pool(tmp_path):
     a = stitch_contig(out, "ctgP", threads=1)
     b = stitch_contig(out1, "ctgP", threads=1)
     assert a == b and len(a) > 3000
+
+
+def test_resume_across_pool_size_change(tmp_path):
+    """A run resumed with a different --writers count (or single-writer)
+    must skip chunks that live in the previous layout's shards, not
+    recompute and duplicate them."""
+    import torch
+
+    from helen_tpu.infer.consensus import call_consensus
+    from helen_tpu.io.synthetic import write_image_file
+    from tests.torch_reference import TorchTransducer
+
+    image_dir = tmp_path / "images"
+    image_dir.mkdir()
+    write_image_file(str(image_dir / "img.h5"),
+                     {"ctgR": random_sequence(4000, seed=12)},
+                     region_cols=600, overlap_cols=60, noise=0.1)
+    torch.manual_seed(2)
+    pkl = str(tmp_path / "m.pkl")
+    torch.save({"model_state_dict": TorchTransducer().state_dict(),
+                "model_optimizer": {}, "hidden_size": 128, "gru_layers": 1,
+                "epochs": 0}, pkl)
+    out_dir = str(tmp_path / "out")
+    # first run: 2 writers
+    call_consensus(image_dir=str(image_dir), model_path=pkl,
+                   output_dir=out_dir, batch_size=4, num_workers=2,
+                   num_writers=2)
+    # resume single-writer: everything is already present in the _w* shards
+    call_consensus(image_dir=str(image_dir), model_path=pkl,
+                   output_dir=out_dir, batch_size=4, num_workers=2,
+                   resume=True)
+    single = os.path.join(out_dir, "helen_predictions_0.hdf")
+    assert os.path.exists(single)
+    # the single-writer file holds NO chunks (all were skipped via preload)
+    import h5py
+
+    with h5py.File(single) as f:
+        n = sum(
+            1
+            for contig in f.get("predictions", {})
+            for region in f["predictions"][contig]
+            for k in f["predictions"][contig][region]
+            if k not in ("contig_start", "contig_end")
+        ) if "predictions" in f else 0
+    assert n == 0, f"resume recomputed {n} chunks already present in pool shards"
+    # and the union of all shards still stitches the full contig
+    shards = [os.path.join(out_dir, p) for p in sorted(os.listdir(out_dir))
+              if p.endswith(".hdf")]
+    seq = stitch_contig(shards, "ctgR", threads=1)
+    assert len(seq) > 3000
