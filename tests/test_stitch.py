@@ -483,3 +483,33 @@ def test_simd_scan_matches_scalar_scan():
             assert a == b, (trial, len(ref), len(query), match, mm, go, ge, mask, a, b)
     finally:
         lib.helen_ssw_set_scalar(-1)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_pipeline_geometry_property(tmp_path, seed):
+    """Property: oracle predictions written under RANDOM region/overlap/chunk
+    geometry always stitch back to the exact source sequence — including
+    multi-contig stores, FASTQ quality alignment, and geometry extremes
+    (tiny regions, overlap near region size, many chunks per region)."""
+    rng = np.random.default_rng(1000 + seed)
+    region_cols = int(rng.integers(120, 1400))
+    overlap_cols = int(rng.integers(20, max(21, region_cols // 2)))
+    n_contigs = int(rng.integers(1, 4))
+    contigs = {
+        f"c{j}": random_sequence(int(rng.integers(2000, 9000)),
+                                 seed=seed * 10 + j)
+        for j in range(n_contigs)
+    }
+    path = str(tmp_path / f"geom_{seed}.hdf")
+    write_prediction_file(path, contigs, region_cols=region_cols,
+                          overlap_cols=overlap_cols, qual=33)
+    from helen_tpu.stitch.engine import Stitcher
+
+    st = Stitcher(threads=1, with_quality=True)
+    got = {c: (s, q) for c, s, q in st.stitch_iter([path], sorted(contigs))}
+    for name, truth in contigs.items():
+        seq, qual = got[name]
+        assert seq == truth, (name, region_cols, overlap_cols, len(seq), len(truth))
+        assert len(qual) == len(seq)
+        # Ns from fallback joins carry q0; everything else the oracle's q33
+        assert set(qual) <= {chr(33 + 33), "!"}
