@@ -130,6 +130,13 @@ class PredictionStore:
             # or HDF5 refuses the read-write open
             close_read_handles(filename)
         self.file = h5py.File(filename, mode)
+        if mode in ("w", "a") and PRED_ROOT not in self.file:
+            # always present, even in a shard that ends up receiving zero
+            # chunks (a --writers pool with fewer regions than writers):
+            # stitch treats an empty predictions group as an empty shard,
+            # while a file with NO predictions group stays a hard error
+            # (it is not a prediction file at all)
+            self.file.create_group(PRED_ROOT)
         self._regions: Set[str] = set()
         self._chunks: Set[Tuple[str, str]] = set()
         self._region_groups: Dict[str, "h5py.Group"] = {}

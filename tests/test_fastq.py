@@ -99,3 +99,28 @@ def test_cli_polish_fastq(tmp_path):
     fa = dict(read_fasta(os.path.join(str(tmp_path / "out_fa"),
                                       "HELEN_prediction.fa")))
     assert fa["ctgF"] == records[0][1]
+
+
+def test_pool_writers_with_qualities(tmp_path):
+    """--writers and --qualities compose: quals route through the writer
+    pool and stitch --fastq merges them across the per-writer shards."""
+    from helen_tpu.infer.consensus import call_consensus
+    from helen_tpu.infer.polish import perform_stitch
+
+    image_dir = tmp_path / "images"
+    image_dir.mkdir()
+    write_image_file(str(image_dir / "img.h5"),
+                     {"ctgW": random_sequence(4000, seed=13)},
+                     region_cols=600, overlap_cols=60, noise=0.1)
+    torch.manual_seed(9)
+    pkl = str(tmp_path / "m.pkl")
+    torch.save({"model_state_dict": TorchTransducer().state_dict(),
+                "model_optimizer": {}, "hidden_size": 128, "gru_layers": 1,
+                "epochs": 0}, pkl)
+    out_dir = str(tmp_path / "preds")
+    call_consensus(image_dir=str(image_dir), model_path=pkl,
+                   output_dir=out_dir, batch_size=4, num_workers=2,
+                   num_writers=2, qualities=True)
+    fq = perform_stitch(out_dir, str(tmp_path), "pq", threads=1, fastq=True)
+    name, seq, qual = next(read_fastq(fq))
+    assert name == "ctgW" and len(seq) == len(qual) > 3000
