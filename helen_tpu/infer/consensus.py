@@ -311,7 +311,10 @@ def call_consensus(
 
         # one-batch-deep pipeline: TPU computes batch k+1 while the host
         # reads back and writes batch k
+        import time as _time
+
         in_flight = None
+        last_flush = _time.monotonic()
         for bi, batch in enumerate(batch_iter):
             if resume:
                 todo = [
@@ -330,10 +333,14 @@ def call_consensus(
             in_flight = (batch, handle)
             if bi % 10 == 0:
                 log.info("batch %d/%d  |  %s", bi + 1, total_batches, windows)
-                # flush so a hard kill (preemption) leaves a readable store
-                # for --resume instead of a truncated HDF5 B-tree
+            # flush so a hard kill (preemption) leaves a readable store for
+            # --resume instead of a truncated HDF5 B-tree. Time-based, not
+            # batch-count: at large batch sizes ten batches can be many
+            # minutes of lost work
+            if bi % 10 == 0 or _time.monotonic() - last_flush > 60:
                 with timer.stage("flush"):
                     store.flush()
+                last_flush = _time.monotonic()
         if in_flight is not None:
             drain(in_flight)
         windows.stop()
