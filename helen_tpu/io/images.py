@@ -145,6 +145,20 @@ class MarginPolishDataset:
                 f"(<= {self.cfg.seq_length}, {self.cfg.feature_dim}) "
                 "MarginPolish pileup columns"
             )
+        rows = image.shape[0]
+        if position.shape != (rows, 3):
+            raise ValueError(
+                f"{path}: images/{name} position shape {position.shape} "
+                f"does not match its {rows}-column image"
+            )
+        if self.with_labels and (
+            label_base.shape != (rows,) or label_rle.shape != (rows,)
+        ):
+            raise ValueError(
+                f"{path}: images/{name} label shapes "
+                f"{label_base.shape}/{label_rle.shape} do not match its "
+                f"{rows}-column image"
+            )
         image, position = pad_image(image, position, self.cfg.seq_length)
         if self.with_labels:
             label_base = _pad_labels(label_base, self.cfg.seq_length)

@@ -56,13 +56,10 @@ def pack_images(
     n = len(idx)
     if n == 0:
         raise ValueError("no images to pack")
-    L, F = image_config.seq_length, image_config.feature_dim
-    contigs: List[str] = []
-    contig_idx = {}
     tmp = cache_path + f".tmp{os.getpid()}"
     try:
-        _write_pack(tmp, ds, idx, n, L, F, files, with_labels, chunk_rows,
-                    contigs, contig_idx, indices is not None)
+        _write_pack(tmp, ds, idx, image_config, files, with_labels,
+                    chunk_rows, indices is not None)
         os.replace(tmp, cache_path)
     finally:
         if os.path.exists(tmp):  # failed mid-pack: drop the orphan
@@ -71,15 +68,22 @@ def pack_images(
     return n
 
 
-def _write_pack(tmp, ds, idx, n, L, F, files, with_labels, chunk_rows,
-                contigs, contig_idx, subset):
+def _write_pack(tmp, ds, idx, image_config, files, with_labels, chunk_rows,
+                subset):
+    n = len(idx)
+    L, F = image_config.seq_length, image_config.feature_dim
+    contigs: List[str] = []
+    contig_idx: dict = {}
+    rows = min(chunk_rows, n)
     with h5py.File(tmp, "w") as out:
         g = out.create_group("packed")
+        # positions stay int64: the unpacked path carries int64 coordinates
+        # and int32 would silently wrap ref_position on >2^31-bp scaffolds
         images = g.create_dataset(
-            "images", (n, L, F), dtype=np.uint8, chunks=(min(chunk_rows, n), L, F)
+            "images", (n, L, F), dtype=np.uint8, chunks=(rows, L, F)
         )
         positions = g.create_dataset(
-            "positions", (n, L, 3), dtype=np.int32, chunks=(min(chunk_rows, n), L, 3)
+            "positions", (n, L, 3), dtype=np.int64, chunks=(rows, L, 3)
         )
         contig_ids = np.zeros(n, dtype=np.int32)
         starts = np.zeros(n, dtype=np.int64)
@@ -87,10 +91,29 @@ def _write_pack(tmp, ds, idx, n, L, F, files, with_labels, chunk_rows,
         chunk_ids = np.zeros(n, dtype=np.int32)
         lb = g.create_dataset("label_base", (n, L), dtype=np.uint8) if with_labels else None
         lr = g.create_dataset("label_rle", (n, L), dtype=np.uint8) if with_labels else None
+        # buffer one HDF5 chunk of rows and write slabs: assigning one image
+        # row at a time re-reads + rewrites the whole ~23 MB chunk per row
+        # (the 1 MB default chunk cache can't hold it) — up to chunk_rows x
+        # write amplification on every pack=True startup
+        img_buf = np.zeros((rows, L, F), dtype=np.uint8)
+        pos_buf = np.zeros((rows, L, 3), dtype=np.int64)
+        lb_buf = np.zeros((rows, L), dtype=np.uint8) if with_labels else None
+        lr_buf = np.zeros((rows, L), dtype=np.uint8) if with_labels else None
+
+        def flush_slab(lo: int, hi: int) -> None:
+            k = hi - lo
+            images[lo:hi] = img_buf[:k]
+            positions[lo:hi] = pos_buf[:k]
+            if with_labels:
+                lb[lo:hi] = lb_buf[:k]
+                lr[lo:hi] = lr_buf[:k]
+
+        slab_lo = 0
         for j, i in enumerate(idx):
             rec = ds.load(i)
-            images[j] = rec.image
-            positions[j] = rec.position.astype(np.int32)
+            k = j - slab_lo
+            img_buf[k] = rec.image
+            pos_buf[k] = rec.position
             if rec.contig not in contig_idx:
                 contig_idx[rec.contig] = len(contigs)
                 contigs.append(rec.contig)
@@ -99,8 +122,13 @@ def _write_pack(tmp, ds, idx, n, L, F, files, with_labels, chunk_rows,
             ends[j] = rec.contig_end
             chunk_ids[j] = rec.chunk_id
             if with_labels:
-                lb[j] = rec.label_base
-                lr[j] = rec.label_rle
+                lb_buf[k] = rec.label_base
+                lr_buf[k] = rec.label_rle
+            if k + 1 == rows:
+                flush_slab(slab_lo, j + 1)
+                slab_lo = j + 1
+        if slab_lo < n:
+            flush_slab(slab_lo, n)
         g["contig_ids"] = contig_ids
         g["contig_start"] = starts
         g["contig_end"] = ends
@@ -153,7 +181,12 @@ def cache_is_fresh(
                 if "image_shape" in f["packed"]
                 else f["packed/images"].shape[1:]
             )
+            # caches packed before positions became int64 silently wrapped
+            # >2^31 coordinates; treat them as stale
+            pos_ok = f["packed/positions"].dtype == np.int64
     except Exception:
+        return False
+    if not pos_ok:
         return False
     if with_labels and not has_labels:
         return False
@@ -201,14 +234,14 @@ class PackedDataset:
             lb = g["label_base"][sl] if self.with_labels else None
             lr = g["label_rle"][sl] if self.with_labels else None
         else:
-            order = np.argsort(indices, kind="stable")
-            sorted_idx = indices[order]
-            inv = np.empty_like(order)
-            inv[order] = np.arange(len(order))
-            images = g["images"][sorted_idx][inv]
-            positions = g["positions"][sorted_idx][inv]
-            lb = g["label_base"][sorted_idx][inv] if self.with_labels else None
-            lr = g["label_rle"][sorted_idx][inv] if self.with_labels else None
+            # h5py fancy indexing needs strictly increasing UNIQUE indices;
+            # np.unique + inverse handles arbitrary order AND duplicates
+            # (e.g. wrap-padded epochs)
+            uniq, inv = np.unique(indices, return_inverse=True)
+            images = g["images"][uniq][inv]
+            positions = g["positions"][uniq][inv]
+            lb = g["label_base"][uniq][inv] if self.with_labels else None
+            lr = g["label_rle"][uniq][inv] if self.with_labels else None
         records = [
             ImageRecord(
                 contig=self.contigs[self.contig_ids[i]],

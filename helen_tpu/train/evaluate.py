@@ -119,11 +119,16 @@ def evaluate(
     batch_size: int = 100,
     num_workers: int = 8,
     precision=None,
+    dataset: Optional[MarginPolishDataset] = None,
 ) -> Dict[str, object]:
-    """Evaluate params over labeled images; returns loss, accuracies, CMs."""
+    """Evaluate params over labeled images; returns loss, accuracies, CMs.
+
+    Pass a prebuilt ``dataset`` to avoid re-opening and re-indexing every
+    test file per call (the Trainer evaluates every epoch)."""
     from helen_tpu.models.transducer import model_geometry
 
-    dataset = MarginPolishDataset(test_files, IMAGE, with_labels=True)
+    if dataset is None:
+        dataset = MarginPolishDataset(test_files, IMAGE, with_labels=True)
     if len(dataset) == 0:
         raise ValueError("no labeled images found for evaluation")
     step = make_eval_step(params, precision)

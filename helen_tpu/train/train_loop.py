@@ -360,6 +360,10 @@ class Trainer:
         self.dataset = MarginPolishDataset(self.train_files, IMAGE, with_labels=True)
         if len(self.dataset) == 0:
             raise ValueError("no labeled training images found")
+        # built once: evaluate() runs every epoch and re-indexing all test
+        # files per call is pure overhead
+        self.test_dataset = MarginPolishDataset(self.test_files, IMAGE,
+                                                with_labels=True)
         if self.pid == 0:
             log.info("training on %d images, evaluating on %d files%s",
                      len(self.dataset), len(self.test_files),
@@ -397,7 +401,13 @@ class Trainer:
         if self.n_procs == 1:
             return indices, self.eff_batch
         pad = (-len(indices)) % self.eff_batch
-        indices = indices + indices[:pad]
+        # repeat the whole permutation as many times as needed (torch
+        # DistributedSampler semantics): with a dataset smaller than the
+        # global batch, indices[:pad] alone under-pads, giving hosts unequal
+        # batch counts — a host with none would never enter the psum and the
+        # collective would hang
+        reps = -(-pad // max(1, len(indices)))
+        indices = (indices + indices * reps)[: len(indices) + pad]
         local = []
         for b in range(0, len(indices), self.eff_batch):
             s = b + self.pid * self.eff_local
@@ -475,7 +485,7 @@ class Trainer:
             )
             stats = evaluate(
                 eval_params, self.test_files, self.cfg.batch_size,
-                self.num_workers, self.precision,
+                self.num_workers, self.precision, dataset=self.test_dataset,
             )
             self.scheduler.step(stats["loss"])
             ckpt = os.path.join(

@@ -176,3 +176,32 @@ def test_plateau_scheduler():
     assert s.step(0.85) == 1.0  # bad 2
     assert s.step(0.85) == 0.5  # bad 3 > patience -> reduce
     assert s.step(0.4) == 0.5  # new best resets
+
+
+def test_host_indices_pad_small_dataset(labeled_data):
+    """DistributedSampler semantics: a dataset smaller than the global batch
+    wrap-pads by REPEATING the permutation, so every host gets the same
+    number of full batches (anything else hangs the psum collective)."""
+    train_dir, test_dir = labeled_data
+    cfg = dataclasses.replace(TRAIN, batch_size=8, seed=0)
+    tr = Trainer(
+        train_files=list_image_files(train_dir),
+        test_files=list_image_files(test_dir),
+        cfg=cfg,
+        model_dir="/tmp/unused_m", stats_dir="/tmp/unused_s",
+        num_workers=1, data_parallel=False,
+    )
+    # simulate a 4-host job with a global batch larger than the dataset
+    tr.n_procs, tr.eff_batch, tr.eff_local = 4, 32, 8
+    small = list(range(10))  # 10 images < eff_batch 32
+    lengths = set()
+    union = set()
+    for pid in range(4):
+        tr.pid = pid
+        local, iter_batch = tr._host_indices(list(small))
+        assert iter_batch == 8
+        assert len(local) % iter_batch == 0
+        lengths.add(len(local))
+        union.update(local)
+    assert lengths == {8}, lengths  # every host: exactly one full batch
+    assert union <= set(small)
