@@ -149,6 +149,7 @@ def call_consensus(
     host_shard: str = "image",
     num_writers: int = 1,
     qualities: bool = False,
+    cache_dir: Optional[str] = None,
 ) -> List[str]:
     """Run consensus calling over a directory of MarginPolish images.
 
@@ -216,13 +217,17 @@ def call_consensus(
         from helen_tpu.io.packed import PackedDataset, cache_is_fresh, pack_images
 
         # per-shard cache name: hosts may share output_dir on a network fs;
-        # with image sharding each host packs ONLY its own index slice
+        # with image sharding each host packs ONLY its own index slice.
+        # cache_dir lets polish() keep the cache OUTSIDE its per-run
+        # timestamped predictions dir so later runs reuse it
         cache_name = ("images_cache.h5" if jax.process_count() == 1
                       else f"images_cache_{shard_id}.h5")
-        cache_path = os.path.join(output_dir, cache_name)
+        cache_path = os.path.join(cache_dir or output_dir, cache_name)
         if not cache_is_fresh(cache_path, files, indices=shard_indices):
             log.info("building packed image cache %s", cache_path)
-            pack_images(files, cache_path, IMAGE, indices=shard_indices)
+            # reuse the already-built index when image sharding computed one
+            pack_images(files, cache_path, IMAGE, indices=shard_indices,
+                        dataset=dataset)
         packed_ds = PackedDataset(cache_path)
         dataset = packed_ds
         shard_indices = None  # the cache holds exactly this host's images

@@ -134,6 +134,10 @@ def polish(
             data_parallel=data_parallel,
             num_writers=num_writers,
             qualities=fastq,
+            # cache in the STABLE parent, not the per-run timestamped
+            # predictions dir — otherwise every fresh polish re-packs the
+            # whole image set and strands the old multi-GB cache
+            cache_dir=output_dir,
         )
     fasta = os.path.join(output_dir, output_prefix + (".fq" if fastq else ".fa"))
     if multi:

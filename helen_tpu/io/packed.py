@@ -44,14 +44,19 @@ def pack_images(
     with_labels: bool = False,
     chunk_rows: int = 256,
     indices: Optional[Sequence[int]] = None,
+    dataset: Optional[MarginPolishDataset] = None,
 ) -> int:
     """Build a packed cache from MarginPolish files; returns image count.
 
     ``indices`` packs only that subset of the files' image index (used by
     image-granular multi-host sharding so each host packs just its slice);
     the subset is recorded in the cache and checked by cache_is_fresh.
+    Pass a prebuilt ``dataset`` over the same files to skip re-indexing
+    them (a full per-file scan on cold network filesystems).
     """
-    ds = MarginPolishDataset(files, image_config, with_labels=with_labels)
+    ds = dataset if dataset is not None else MarginPolishDataset(
+        files, image_config, with_labels=with_labels
+    )
     idx = list(indices) if indices is not None else list(range(len(ds)))
     n = len(idx)
     if n == 0:

@@ -123,13 +123,30 @@ def allsum_hosts(array: np.ndarray) -> np.ndarray:
     return np.asarray(gathered).sum(axis=0)
 
 
-def barrier(name: str = "helen_tpu") -> None:
+def barrier(name: str = "helen_tpu", timeout_s: float = 7200.0) -> None:
     """Cross-host sync point (replaces the reference's dist.barrier,
-    train_distributed.py:243,253)."""
+    train_distributed.py:243,253).
+
+    Prefers the coordination-service barrier over a device collective:
+    hosts wait at this barrier for however long another host computes (e.g.
+    process 0 stitching a genome for tens of minutes), and cross-host
+    DEVICE collectives are subject to runtime transfer timeouts far below
+    that — a parked sync_global_devices would abort the job. Falls back to
+    the collective if the coordination client is unavailable."""
     import jax
 
     if jax.process_count() == 1:
         return
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        assert client is not None
+        client.wait_at_barrier(f"helen_tpu:{name}", int(timeout_s * 1000))
+        return
+    except Exception as exc:  # pragma: no cover - depends on jax internals
+        log.warning("coordination-service barrier unavailable (%s); "
+                    "falling back to a device collective", exc)
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices(name)

@@ -88,6 +88,9 @@ class Aligner:
         if alignment is None:
             alignment = Alignment()
         filter = filter or Filter()
+        # a reused Alignment must never carry the PREVIOUS pair's results
+        # past a failed call (the reference C++ wrapper refills every call)
+        alignment.Clear()
         q = query.encode() if isinstance(query, str) else bytes(query)
         if not self._ref or not q:
             return False

@@ -179,9 +179,10 @@ def merge_region_chunks_with_quality(
         return "", ""
     bases, rles, quals = kept
     seq = rle_decode(bases, rles)
-    # per-base quality: base class 0 emits nothing (label_decoder contract),
-    # so the emitted count per column is rle for real bases and 0 otherwise
-    counts = np.where(bases > 0, rles.astype(np.int64), 0)
+    # per-base quality: the emitted count per column must mirror the native
+    # decoder exactly — base class 0 emits nothing (label_decoder contract)
+    # and out-of-range classes (>4, corrupt stores) are skipped there too
+    counts = np.where((bases > 0) & (bases <= 4), rles.astype(np.int64), 0)
     qual = np.repeat(
         np.minimum(quals.astype(np.int64), 93) + 33, counts
     ).astype(np.uint8).tobytes().decode("ascii")

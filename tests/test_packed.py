@@ -91,3 +91,34 @@ def test_consensus_pack_matches_unpacked(image_files, tmp_path):
             ):
                 np.testing.assert_array_equal(ba, bb)
                 np.testing.assert_array_equal(rlea, rleb)
+
+
+def test_polish_pack_cache_reused_across_runs(tmp_path):
+    """polish --pack must keep its image cache in the stable output dir so a
+    second run reuses it instead of re-packing into the fresh timestamped
+    predictions dir."""
+    import torch
+
+    from helen_tpu.infer.polish import polish
+    from helen_tpu.io.synthetic import random_sequence, write_image_file
+    from tests.torch_reference import TorchTransducer
+
+    image_dir = tmp_path / "images"
+    image_dir.mkdir()
+    write_image_file(str(image_dir / "img.h5"),
+                     {"ctgC": random_sequence(3000, seed=3)},
+                     region_cols=600, overlap_cols=60, noise=0.1)
+    torch.manual_seed(0)
+    pkl = str(tmp_path / "m.pkl")
+    torch.save({"model_state_dict": TorchTransducer().state_dict(),
+                "model_optimizer": {}, "hidden_size": 128, "gru_layers": 1,
+                "epochs": 0}, pkl)
+    out_dir = str(tmp_path / "out")
+    polish(str(image_dir), pkl, out_dir, batch_size=4, num_workers=1,
+           threads=1, pack=True)
+    cache = os.path.join(out_dir, "images_cache.h5")
+    assert os.path.exists(cache), sorted(os.listdir(out_dir))
+    stamp = os.stat(cache).st_mtime_ns
+    polish(str(image_dir), pkl, out_dir, batch_size=4, num_workers=1,
+           threads=1, pack=True)
+    assert os.stat(cache).st_mtime_ns == stamp, "cache was rebuilt"
