@@ -77,6 +77,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fastq", action="store_true",
                    help="emit <prefix>.fq with per-base phred qualities from "
                         "the vote margins (extension; reference discards them)")
+    p.add_argument("--barrier_timeout", type=float, default=86400.0,
+                   help="multi-host barrier timeout in seconds (hosts park "
+                        "here behind process 0's stitch; default 24 h)")
 
     p = sub.add_parser("call_consensus", help="run model inference, write prediction HDF5")
     _add_common_consensus_args(p)
@@ -226,6 +229,7 @@ def main(argv=None) -> int:
             num_writers=args.writers,
             data_parallel=not args.no_data_parallel,
             fastq=args.fastq,
+            barrier_timeout_s=args.barrier_timeout,
         )
         print(fasta)
         return 0

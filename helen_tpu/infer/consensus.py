@@ -244,12 +244,18 @@ def call_consensus(
 
     # resume must skip chunks no matter which shard layout a previous run
     # used (a different --writers count, or the single-writer file): sibling
-    # shards outside this run's own paths contribute dedupe keys only
+    # shards outside this run's own paths contribute dedupe keys only.
+    # Match THIS host's layouts exactly (`_<id>.hdf` and `_<id>_w<k>.hdf`):
+    # a bare `_<id>*` glob over-matches other hosts' shards whenever shard_id
+    # is a digit-prefix of another process index (host 1 vs `_10.hdf`,
+    # `_12_w0.hdf`, ...), and read-opening a file another concurrently
+    # resuming host has open for write trips HDF5 file locking.
     import glob as _glob
 
-    siblings = sorted(_glob.glob(
-        os.path.join(output_dir, f"{output_prefix}_{shard_id}*.hdf")
-    )) if resume else []
+    siblings = sorted(
+        _glob.glob(os.path.join(output_dir, f"{output_prefix}_{shard_id}.hdf"))
+        + _glob.glob(os.path.join(output_dir, f"{output_prefix}_{shard_id}_w*.hdf"))
+    ) if resume else []
     if num_writers > 1:
         from helen_tpu.io.writer_pool import PredictionWriterPool
 

@@ -77,11 +77,17 @@ def polish(
     data_parallel: bool = True,
     num_writers: int = 1,
     fastq: bool = False,
+    barrier_timeout_s: float = 86400.0,
 ) -> str:
     """Full polish: images -> consensus -> stitch -> polished FASTA path.
 
     ``fastq=True`` turns on per-column quality emission at consensus and
     writes <prefix>.fq with per-base phred qualities (helen_tpu extension).
+
+    ``barrier_timeout_s`` bounds how long a multi-host job waits at the
+    shards-complete and stitch-complete barriers (default 24 h — the
+    stitch-complete barrier parks every other host behind process 0's
+    single-host stitch, which is genome-scale work).
 
     Multi-host jobs are coordinated: process 0 picks the predictions
     directory and broadcasts it (timestamps can differ across hosts), every
@@ -141,12 +147,13 @@ def polish(
         )
     fasta = os.path.join(output_dir, output_prefix + (".fq" if fastq else ".fa"))
     if multi:
-        multihost.barrier("consensus-shards-complete")
+        multihost.barrier("consensus-shards-complete",
+                          timeout_s=barrier_timeout_s)
     if not multi or jax.process_index() == 0:
         with timer.stage("stitch"):
             fasta = perform_stitch(pred_dir, output_dir, output_prefix, threads,
                                    fastq=fastq)
     if multi:
-        multihost.barrier("stitch-complete")
+        multihost.barrier("stitch-complete", timeout_s=barrier_timeout_s)
     log.info("polish complete:\n%s", timer.report())
     return fasta

@@ -233,8 +233,21 @@ class PredictionWriterPool:
         for w in range(len(self._work_qs)):
             self._ship(w)
         self._closed = True
-        for q in self._work_qs:
-            q.put(_SENTINEL)
+        # bounded put with liveness checks: if a worker died with its queue
+        # full, an unbounded put would block forever and never reach the
+        # liveness-checked drain loop below
+        for w, q in enumerate(self._work_qs):
+            while True:
+                try:
+                    q.put(_SENTINEL, timeout=5)
+                    break
+                except queue_mod.Full:
+                    if not self._procs[w].is_alive():
+                        self._abort()
+                        raise RuntimeError(
+                            f"prediction writer {w} died before close (exit "
+                            f"code {self._procs[w].exitcode})"
+                        )
         done = 0
         waited = 0.0
         while done < len(self._procs):

@@ -123,7 +123,37 @@ def allsum_hosts(array: np.ndarray) -> np.ndarray:
     return np.asarray(gathered).sum(axis=0)
 
 
-def barrier(name: str = "helen_tpu", timeout_s: float = 7200.0) -> None:
+def coordination_client():
+    """Feature-detected handle to the coordination-service client.
+
+    jax exposes no public barrier API (jax.distributed has only
+    initialize/is_initialized/shutdown as of 0.9), so this shim probes the
+    known locations of the distributed-runtime client, newest first. Returns
+    None when no candidate resolves (single-process runs, or a jax upgrade
+    that moved the internals — tests/test_multihost_unit.py fails loudly on
+    the latter so the degradation is never silent)."""
+    import jax
+
+    candidates = (
+        # a future public home, tried first so an upstream promotion is
+        # picked up without a code change
+        lambda: jax.distributed.global_state.client,
+        # jax 0.4.x - 0.9.x internal location
+        lambda: __import__(
+            "jax._src.distributed", fromlist=["global_state"]
+        ).global_state.client,
+    )
+    for get in candidates:
+        try:
+            client = get()
+        except Exception:
+            continue
+        if client is not None and hasattr(client, "wait_at_barrier"):
+            return client
+    return None
+
+
+def barrier(name: str = "helen_tpu", timeout_s: float = 86400.0) -> None:
     """Cross-host sync point (replaces the reference's dist.barrier,
     train_distributed.py:243,253).
 
@@ -132,21 +162,23 @@ def barrier(name: str = "helen_tpu", timeout_s: float = 7200.0) -> None:
     process 0 stitching a genome for tens of minutes), and cross-host
     DEVICE collectives are subject to runtime transfer timeouts far below
     that — a parked sync_global_devices would abort the job. Falls back to
-    the collective if the coordination client is unavailable."""
+    the collective if the coordination client is unavailable.
+
+    The default timeout is deliberately generous (24 h): pipeline barriers
+    park hosts behind single-host work of genome-scale duration (a stitch on
+    process 0 can run for hours on few threads); callers with tighter
+    liveness requirements pass their own ``timeout_s``.
+    """
     import jax
 
     if jax.process_count() == 1:
         return
-    try:
-        from jax._src import distributed
-
-        client = distributed.global_state.client
-        assert client is not None
+    client = coordination_client()
+    if client is not None:
         client.wait_at_barrier(f"helen_tpu:{name}", int(timeout_s * 1000))
         return
-    except Exception as exc:  # pragma: no cover - depends on jax internals
-        log.warning("coordination-service barrier unavailable (%s); "
-                    "falling back to a device collective", exc)
+    log.warning("coordination-service barrier unavailable; "
+                "falling back to a device collective")
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices(name)

@@ -63,9 +63,14 @@ def make_sharded_train_step(
     image_len: Optional[int] = None,
     precision=None,
     gru_layers: int = 1,
+    params=None,
 ) -> Callable:
     """Jit the full TBPTT training step over a ("data", "model") mesh with
     batch-sharded data and tensor-sharded params.
+
+    Pass ``params`` (preferred) to derive the layer geometry from the pytree —
+    a stacked (gru_layers>1) checkpoint otherwise hits a pytree-structure
+    mismatch against the default 1-layer spec tree.
 
     Returns step(params, opt_state, lr, images_u8, label_base, label_rle,
     valid) with params/opt_state sharded per param_partition_specs.
@@ -82,7 +87,7 @@ def make_sharded_train_step(
     # wraps it in shard_map instead.
     fn = build_tbptt_fn(tx, image_len=image_len, precision=precision)
 
-    pspecs = param_partition_specs(gru_layers=gru_layers)
+    pspecs = param_partition_specs(params=params, gru_layers=gru_layers)
     param_sh = jax.tree_util.tree_map(
         lambda spec: NamedSharding(mesh, spec), pspecs,
         is_leaf=lambda x: isinstance(x, P),
@@ -113,9 +118,11 @@ def shard_params(mesh, params):
     return jax.device_put(params, shardings)
 
 
-def make_sharded_consensus_fn(mesh, precision=None, gru_layers: int = 1) -> Callable:
+def make_sharded_consensus_fn(mesh, precision=None, gru_layers: int = 1,
+                              params=None) -> Callable:
     """Jit the flagship inference step (full-image windowed vote) over the
-    mesh: batch on "data", params tensor-sharded on "model"."""
+    mesh: batch on "data", params tensor-sharded on "model". Pass ``params``
+    (preferred) to derive layer geometry from the pytree."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -123,7 +130,7 @@ def make_sharded_consensus_fn(mesh, precision=None, gru_layers: int = 1) -> Call
     from helen_tpu.config import WINDOW
     from helen_tpu.models.transducer import consensus_labels
 
-    pspecs = param_partition_specs(gru_layers=gru_layers)
+    pspecs = param_partition_specs(params=params, gru_layers=gru_layers)
     param_sh = jax.tree_util.tree_map(
         lambda spec: NamedSharding(mesh, spec), pspecs,
         is_leaf=lambda x: isinstance(x, P),

@@ -22,6 +22,9 @@ def main() -> int:
     multihost.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
     assert jax.process_count() == 2
     assert jax.device_count() == 4
+    # the feature-detected coordination client must resolve in a live job —
+    # barrier() silently degrading to a device collective is a regression
+    assert multihost.coordination_client() is not None
 
     # cross-host reduction (the eval confusion-matrix path)
     cm = np.full((3, 3), float(pid + 1))
