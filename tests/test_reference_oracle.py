@@ -38,10 +38,12 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.fixture(scope="module")
-def ref():
-    """Import the reference package with the environment shims installed."""
-    torch = pytest.importorskip("torch")
+def import_reference():
+    """Import the reference package with the environment shims installed.
+
+    Also used by tests/golden/make_golden.py to record the vendored golden
+    outputs (tests/test_golden_model.py)."""
+    import torch
 
     if REF not in sys.path:
         sys.path.insert(0, REF)
@@ -88,6 +90,12 @@ def ref():
         TrainOptions=TrainOptions,
         Stitch=Stitch,
     )
+
+
+@pytest.fixture(scope="module")
+def ref():
+    pytest.importorskip("torch")
+    return import_reference()
 
 
 @pytest.fixture(scope="module")
