@@ -275,8 +275,9 @@ class Trainer:
     in-step psum over ICI. Each host feeds its slice of every global batch
     (DistributedSampler-style wrap-padded permutation, so all hosts run the
     same number of full batches in lockstep); rank 0 writes checkpoints and
-    CSVs; every host evaluates the identical test set so the LR-plateau
-    scheduler stays replica-identical without a broadcast."""
+    CSVs; epoch evaluation is sharded per host with loss/CMs
+    allgather-summed identically everywhere, keeping the LR-plateau
+    scheduler replica-identical at ~1/N the eval cost."""
 
     def __init__(
         self,
@@ -473,9 +474,10 @@ class Trainer:
             t0 = time.time()
             skip = self.start_batch if epoch == self.start_epoch else 0
             train_loss = self.train_one_epoch(epoch, skip_batches=skip)
-            # every host evaluates the identical test set with identical
-            # (replicated) params, so each reaches the same loss and the
-            # plateau scheduler advances identically — no broadcast needed.
+            # multi-host eval is sharded: each host scores its slice of the
+            # test images and loss/CMs are allgather-summed, identically on
+            # every host — so the plateau scheduler advances in lockstep
+            # with ~1/N the eval work (not O(hosts)-redundant full passes).
             # Params come off the global mesh as replicated jax.Arrays; the
             # host-local eval jit needs addressable inputs, so materialize
             # the local copy.
@@ -486,6 +488,7 @@ class Trainer:
             stats = evaluate(
                 eval_params, self.test_files, self.cfg.batch_size,
                 self.num_workers, self.precision, dataset=self.test_dataset,
+                shard_across_hosts=True,
             )
             self.scheduler.step(stats["loss"])
             ckpt = os.path.join(

@@ -67,6 +67,7 @@ def main() -> int:
     loss_val = float(loss)
     assert np.isfinite(loss_val)
     multihost.barrier("trained")
+    sharded_loss = None
 
     if workdir and os.path.isdir(os.path.join(workdir, "train_images")):
         # full distributed Trainer epoch (global-mesh shard_map step, wrap-
@@ -104,7 +105,34 @@ def main() -> int:
         for k in flat:
             np.testing.assert_allclose(flat[k], golden[k], rtol=2e-4, atol=2e-5,
                                        err_msg=k)
+        # trainer.run used host-sharded eval for its scheduler step; its
+        # state must match the single-process golden run's scheduler
+        golden_sched = dict(np.load(os.path.join(workdir, "golden_sched.npz")))
+        sched = trainer.scheduler.state_dict()
+        assert sched["lr"] == float(golden_sched["lr"]), sched
+        assert sched["num_bad"] == int(golden_sched["num_bad"]), sched
+        np.testing.assert_allclose(sched["best"], float(golden_sched["best"]),
+                                   rtol=2e-4)
         multihost.barrier("trainer_parity")
+
+        # sharded epoch eval: each host scores half the images; the summed
+        # stats must equal the full-set pass exactly (same jitted program,
+        # same params -> identical per-image argmaxes on either host) and
+        # the loss must be identical ACROSS hosts (scheduler lockstep —
+        # asserted by the parent comparing the printed digits)
+        from helen_tpu.train.evaluate import evaluate
+
+        eval_params = _jax.tree_util.tree_map(np.asarray, trainer.params)
+        full = evaluate(eval_params, trainer.test_files, 8, 2)
+        sharded = evaluate(eval_params, trainer.test_files, 8, 2,
+                           shard_across_hosts=True)
+        assert (sharded["base_confusion_matrix"]
+                == full["base_confusion_matrix"]).all()
+        assert (sharded["rle_confusion_matrix"]
+                == full["rle_confusion_matrix"]).all()
+        np.testing.assert_allclose(sharded["loss"], full["loss"], rtol=1e-5)
+        sharded_loss = sharded["loss"]
+        multihost.barrier("sharded_eval")
 
     if workdir:
         # full multi-host polish pipeline through the coordinated driver:
@@ -136,7 +164,10 @@ def main() -> int:
         assert names == ["cA", "cB"], names
         multihost.barrier("polished")
 
-    print(f"OK {pid} {loss_val:.6f}", flush=True)
+    # everything after "OK <pid>" is compared for cross-host identity by
+    # the parent test (scheduler-lockstep evidence for the sharded eval)
+    extra = f" {sharded_loss:.9f}" if sharded_loss is not None else ""
+    print(f"OK {pid} {loss_val:.6f}{extra}", flush=True)
     return 0
 
 

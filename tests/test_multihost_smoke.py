@@ -81,6 +81,7 @@ def test_two_process_distributed_job(tmp_path):
 
     _flatten("", golden.params)
     np.savez(str(tmp_path / "golden_params.npz"), **flat)
+    np.savez(str(tmp_path / "golden_sched.npz"), **golden.scheduler.state_dict())
 
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
@@ -103,5 +104,7 @@ def test_two_process_distributed_job(tmp_path):
             pytest.fail("multihost worker timed out")
         assert p.returncode == 0, f"worker failed:\nstdout:{out}\nstderr:{err}"
         outs.append(out)
-    losses = {o.strip().split()[-1] for o in outs}
-    assert len(losses) == 1, f"hosts disagree on loss: {outs}"
+    # everything after "OK <pid>" (train loss + sharded eval loss) must be
+    # digit-identical across hosts — scheduler-lockstep evidence
+    tails = {" ".join(o.strip().splitlines()[-1].split()[2:]) for o in outs}
+    assert len(tails) == 1, f"hosts disagree on losses: {outs}"
