@@ -12,44 +12,97 @@ artifact absent on real TPU hosts where PCIe/DMA moves a 46 MB batch in ~5 ms
 Baseline: the reference polishes a human genome (~57M windows) in ~3.5h on
 2x P100 ≈ 4,500 windows/s/GPU (SURVEY.md §7, docs/runtime_cost.md).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. The headline metric (value / vs_baseline) is the
+byte-parity inference tier; the same line carries the bf16 fast tier
+(--fast) and the training tier (TBPTT windows/s) so round-over-round
+regressions in any tier are driver-visible (VERDICT r1 weak #7).
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 BASELINE_WINDOWS_PER_S = 4500.0  # reference: ~4.5K windows/s per P100
-BATCH = 1024
-STEPS = 10
+# HELEN_BENCH_* overrides serve the CI smoke (ci/run_checks.sh), which only
+# checks the output contract on small shapes — TPU numbers use the defaults
+BATCH = int(os.environ.get("HELEN_BENCH_BATCH", 1024))
+STEPS = int(os.environ.get("HELEN_BENCH_STEPS", 10))
+TRAIN_BATCH = int(os.environ.get("HELEN_BENCH_TRAIN_BATCH", 128))
+TRAIN_STEPS = int(os.environ.get("HELEN_BENCH_TRAIN_STEPS", 4))
 WINDOWS_PER_IMAGE = 19
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
+def _measure_infer(jax, jnp, params, batches, backend: str,
+                   steps: int = STEPS) -> float:
+    """Steady-state windows/s of the consensus program on one backend."""
+    from helen_tpu.models.transducer import consensus_labels
 
-    from helen_tpu.models.transducer import consensus_labels, init_params
-    from helen_tpu.utils import enable_persistent_compilation_cache
-
-    enable_persistent_compilation_cache()
-
-    n_chips = jax.local_device_count()
-    params = jax.device_put(init_params(jax.random.PRNGKey(0)))
-
-    # parity backend (fused Pallas window kernel on TPU with full-fp32
-    # matmul precision — exact replay of the reference vote arithmetic;
-    # --fast/pallas_fast is ~2x beyond this at bf16);
     # sum-reduce the labels so each step's completion is observable with a
     # scalar readback (full label readback would re-measure relay bandwidth)
-    backend = "pallas" if jax.local_devices()[0].platform in ("tpu", "axon") else "xla"
     fn = jax.jit(
         lambda p, im: [
             o.sum()
             for o in consensus_labels(p, im.astype(jnp.float32), backend=backend)
         ]
     )
+    float(fn(params, batches[0])[0])  # compile + warmup
+
+    t0 = time.perf_counter()
+    prev = fn(params, batches[0])
+    for i in range(1, steps):
+        cur = fn(params, batches[i % len(batches)])
+        float(prev[0])
+        prev = cur
+    float(prev[0])
+    elapsed = time.perf_counter() - t0
+    return steps * BATCH * WINDOWS_PER_IMAGE / elapsed
+
+
+def _measure_train(jax, jnp, backend: str) -> float:
+    """Steady-state training windows/s: the full jitted TBPTT program
+    (19 windows x grad + Adam step per batch), params carried step to step."""
+    from helen_tpu.models.transducer import init_params
+    from helen_tpu.train.train_loop import build_tbptt_fn, make_optimizer
+
+    tx = make_optimizer(0.0)
+    fn = jax.jit(build_tbptt_fn(tx, backend=backend), donate_argnums=(0, 1))
+    params = init_params(jax.random.PRNGKey(0))
+    opt_state = tx.init(params)
+    rng = np.random.default_rng(0)
+    images = jax.device_put(
+        rng.integers(0, 40, size=(TRAIN_BATCH, 1000, 90)).astype(np.uint8))
+    yb = jax.device_put(
+        rng.integers(0, 5, size=(TRAIN_BATCH, 1000)).astype(np.int32))
+    yr = jax.device_put(
+        rng.integers(0, 11, size=(TRAIN_BATCH, 1000)).astype(np.int32))
+    lr = jnp.float32(1e-4)
+
+    params, opt_state, loss, _, _ = fn(params, opt_state, lr, images, yb, yr,
+                                       TRAIN_BATCH)  # compile + warmup
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_STEPS):
+        params, opt_state, loss, _, _ = fn(params, opt_state, lr, images, yb,
+                                           yr, TRAIN_BATCH)
+    float(loss)  # forces the whole donated chain
+    elapsed = time.perf_counter() - t0
+    return TRAIN_STEPS * TRAIN_BATCH * WINDOWS_PER_IMAGE / elapsed
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from helen_tpu.models.transducer import init_params
+    from helen_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
+    n_chips = jax.local_device_count()
+    on_tpu = jax.local_devices()[0].platform in ("tpu", "axon")
+    params = jax.device_put(init_params(jax.random.PRNGKey(0)))
 
     rng = np.random.default_rng(0)
     batches = [
@@ -59,24 +112,25 @@ def main() -> None:
         for _ in range(3)
     ]
 
-    float(fn(params, batches[0])[0])  # compile + warmup
+    # parity tier (headline): fused Pallas window kernel on TPU with full-
+    # fp32 matmul passes — exact replay of the reference vote arithmetic
+    parity = _measure_infer(jax, jnp, params, batches,
+                            "pallas" if on_tpu else "xla") / n_chips
+    # fast tier: bf16 recurrence (--fast); labels can flip on near-tie votes
+    fast = _measure_infer(jax, jnp, params, batches,
+                          "pallas_fast" if on_tpu else "xla") / n_chips
+    # training tier: fused forward+backward window kernels on TPU
+    train = _measure_train(jax, jnp,
+                           "pallas_train" if on_tpu else "xla") / n_chips
 
-    t0 = time.perf_counter()
-    prev = fn(params, batches[0])
-    for i in range(1, STEPS):
-        cur = fn(params, batches[i % len(batches)])
-        float(prev[0])
-        prev = cur
-    float(prev[0])
-    elapsed = time.perf_counter() - t0
-
-    windows = STEPS * BATCH * WINDOWS_PER_IMAGE
-    per_chip = windows / elapsed / n_chips
     print(json.dumps({
         "metric": "consensus_windows_per_s_per_chip",
-        "value": round(per_chip, 1),
+        "value": round(parity, 1),
         "unit": "windows/s/chip",
-        "vs_baseline": round(per_chip / BASELINE_WINDOWS_PER_S, 2),
+        "vs_baseline": round(parity / BASELINE_WINDOWS_PER_S, 2),
+        "fast_windows_per_s_per_chip": round(fast, 1),
+        "fast_vs_baseline": round(fast / BASELINE_WINDOWS_PER_S, 2),
+        "train_windows_per_s_per_chip": round(train, 1),
     }))
 
 
