@@ -124,6 +124,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="build/reuse a packed contiguous cache of the "
                         "training images (one slab read per batch instead of "
                         "group-per-image HDF5 reads, every epoch)")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="tensor-parallel width: shard the GRU gate "
+                        "projections over a ('data','model') chip mesh via "
+                        "GSPMD (single-process jobs; 1 = pure data parallel)")
 
     p = sub.add_parser("test", help="evaluate a model on labeled images")
     p.add_argument("--test_image_dir", required=True)
@@ -292,6 +296,7 @@ def main(argv=None) -> int:
             hidden_size=args.hidden_size,
             gru_layers=args.gru_layers,
             pack=args.pack,
+            model_parallel=args.model_parallel,
         )
         return 0
 

@@ -322,11 +322,12 @@ def resolve_backend(requested, kind: str, log=None, params=None) -> str:
     DEFAULT-precision train kernel must never silently serve the fp32
     parity inference path.
 
-    When ``params`` is given, Pallas backends additionally require the
-    kernels' compiled hidden size (128 — the flagship/published geometry);
-    other hidden sizes fall back to the lax.scan path with a log line.
-    Layer count does not matter: the fused kernels run per window per
-    layer, whatever the stack depth.
+    When ``params`` is given, Pallas backends additionally require a
+    lane-width-multiple hidden size (H % 128 == 0 — gate slices must land
+    on 128-aligned lane offsets; block shapes scale with H); other hidden
+    sizes fall back to the lax.scan path with a log line. Layer count does
+    not matter: the fused kernels run per window per layer, whatever the
+    stack depth.
     """
     import jax
 
@@ -349,13 +350,11 @@ def resolve_backend(requested, kind: str, log=None, params=None) -> str:
             return "xla"
         resolved = requested
     if resolved != "xla" and params is not None:
-        from helen_tpu.ops.gru_pallas import H as KERNEL_H
-
         h = model_geometry(params).hidden_size
-        if h != KERNEL_H:
+        if h % 128 != 0:
             if log is not None:
                 log.warning(
-                    "backend %r supports hidden_size %d only (model has %d); "
-                    "falling back to 'xla'", resolved, KERNEL_H, h)
+                    "backend %r needs hidden_size %% 128 == 0 (model has %d); "
+                    "falling back to 'xla'", resolved, h)
             return "xla"
     return resolved

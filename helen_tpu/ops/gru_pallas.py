@@ -52,7 +52,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-H = 128  # transducer hidden size (config.MODEL.hidden_size)
+# Flagship hidden size (config.MODEL.hidden_size). The kernels themselves
+# serve ANY hidden size that is a lane-width multiple (H % 128 == 0): gate
+# slices land on 128-aligned lane offsets and block shapes scale with H
+# (models.transducer.resolve_backend gates on that condition; other sizes
+# fall back to lax.scan).
+H = 128
 
 
 def _split_bf16x2(w):
@@ -63,6 +68,7 @@ def _split_bf16x2(w):
 
 
 def _gru_gates(h, xp, w_hi, w_lo, b_hh):
+    H = h.shape[1]  # static inside the kernel; any lane-width multiple
     # xp may be bf16 (fast mode); accumulation and gates always f32.
     # fast mode (w_lo is None): a single bf16 MXU product.
     # parity mode: the MXU's DEFAULT fp32 dot rounds operands to bf16
@@ -123,7 +129,12 @@ def _kernel(
         hb_ref[:] = hb_new
 
 
-def _pick_block(B: int, target: int = 256) -> int:
+def _pick_block(B: int, target: int = 0, h: int = H) -> int:
+    if not target:
+        # scale the batch block down with the hidden size so the kernel's
+        # VMEM residency (streams + weights + double buffers ~ Bt*H) stays
+        # inside the ~16 MB budget at larger geometries
+        target = max(8, (256 * H // h) // 8 * 8)
     if B <= target:
         return B
     b = target
@@ -153,8 +164,13 @@ def fused_bigru_window(
     from jax.experimental.pallas import tpu as pltpu
 
     T, B, threeH = xp_f.shape
-    assert threeH == 3 * H, f"expected 3H={3 * H}, got {threeH}"
-    Bt = block_b or _pick_block(B)
+    Hm = h0_f.shape[1]  # model hidden size: any lane-width multiple
+    assert threeH == 3 * Hm, f"expected 3H={3 * Hm}, got {threeH}"
+    assert Hm % 128 == 0, (
+        f"fused kernel needs hidden_size % 128 == 0, got {Hm} "
+        "(resolve_backend falls back to xla for other geometries)"
+    )
+    Bt = block_b or _pick_block(B, h=Hm)
     assert B % Bt == 0, f"batch {B} not divisible by block {Bt}"
 
     # bf16 weights select fast mode (single bf16 product); fp32 weights are
@@ -171,19 +187,19 @@ def fused_bigru_window(
     grid = (B // Bt, T)
     specs = dict(
         xp=lambda rev: pl.BlockSpec(
-            (1, Bt, 3 * H),
+            (1, Bt, 3 * Hm),
             (lambda b, t: (T - 1 - t, b, 0)) if rev else (lambda b, t: (t, b, 0)),
             memory_space=pltpu.VMEM,
         ),
-        h0=pl.BlockSpec((Bt, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
-        w=pl.BlockSpec((H, 3 * H), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
-        bias=pl.BlockSpec((1, 3 * H), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        h0=pl.BlockSpec((Bt, Hm), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+        w=pl.BlockSpec((Hm, 3 * Hm), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        bias=pl.BlockSpec((1, 3 * Hm), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
         out=lambda rev: pl.BlockSpec(
-            (1, Bt, H),
+            (1, Bt, Hm),
             (lambda b, t: (T - 1 - t, b, 0)) if rev else (lambda b, t: (t, b, 0)),
             memory_space=pltpu.VMEM,
         ),
-        hfin=pl.BlockSpec((Bt, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+        hfin=pl.BlockSpec((Bt, Hm), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
     )
 
     out_f, out_b, hf, hb = pl.pallas_call(
@@ -200,14 +216,14 @@ def fused_bigru_window(
             specs["hfin"], specs["hfin"],
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, Hm), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, Hm), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hm), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hm), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Bt, H), jnp.float32),
-            pltpu.VMEM((Bt, H), jnp.float32),
+            pltpu.VMEM((Bt, Hm), jnp.float32),
+            pltpu.VMEM((Bt, Hm), jnp.float32),
         ],
         interpret=interpret,
     )(xp_f, xp_b, h0_f, h0_b, wf_hi, wb_hi, wf_lo, wb_lo, bh_f, bh_b)

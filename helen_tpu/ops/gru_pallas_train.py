@@ -63,6 +63,7 @@ from helen_tpu.ops.gru_pallas import H, _pick_block
 def _gates_train(h_prev, xp, w, b_hh):
     """Recurrence gates at DEFAULT matmul precision; returns hp_n too so the
     backward pass can reuse it."""
+    H = h_prev.shape[1]  # static inside the kernel; any lane-width multiple
     hp = jnp.dot(h_prev, w, preferred_element_type=jnp.float32) + b_hh
     r = jax.nn.sigmoid(xp[:, :H] + hp[:, :H])
     z = jax.nn.sigmoid(xp[:, H : 2 * H] + hp[:, H : 2 * H])
@@ -191,7 +192,7 @@ def _bwd_kernel(
         dh0_b_ref[:] = dhb_new
 
 
-def _specs(T: int, Bt: int):
+def _specs(T: int, Bt: int, H: int = H):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -233,33 +234,34 @@ def fused_bigru_window_train_fwd(
     from jax.experimental.pallas import tpu as pltpu
 
     T, B, threeH = xp_f.shape
-    assert threeH == 3 * H
-    Bt = _pick_block(B)
+    Hm = h0_f.shape[1]  # model hidden size: any lane-width multiple
+    assert threeH == 3 * Hm and Hm % 128 == 0, (threeH, Hm)
+    Bt = _pick_block(B, h=Hm)
     assert B % Bt == 0
-    sp = _specs(T, Bt)
+    sp = _specs(T, Bt, Hm)
     grid = (B // Bt, T)
     out_f, out_b, hf, hb = pl.pallas_call(
         functools.partial(_fwd_kernel, T=T),
         grid=grid,
         in_specs=[
-            sp["stream"](3 * H, False), sp["stream"](3 * H, True),
+            sp["stream"](3 * Hm, False), sp["stream"](3 * Hm, True),
             sp["vec"], sp["vec"],
-            sp["w"](H, 3 * H), sp["w"](H, 3 * H),
+            sp["w"](Hm, 3 * Hm), sp["w"](Hm, 3 * Hm),
             sp["bias"], sp["bias"],
         ],
         out_specs=[
-            sp["stream"](H, False), sp["stream"](H, True),
+            sp["stream"](Hm, False), sp["stream"](Hm, True),
             sp["vec"], sp["vec"],
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, Hm), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, Hm), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hm), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hm), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Bt, H), jnp.float32),
-            pltpu.VMEM((Bt, H), jnp.float32),
+            pltpu.VMEM((Bt, Hm), jnp.float32),
+            pltpu.VMEM((Bt, Hm), jnp.float32),
         ],
         interpret=interpret,
     )(xp_f, xp_b, h0_f, h0_b, w_f, w_b, bh_f, bh_b)
@@ -279,9 +281,10 @@ def fused_bigru_window_train_bwd(
     from jax.experimental.pallas import tpu as pltpu
 
     T, B, threeH = xp_f.shape
-    assert threeH == 3 * H
-    Bt = _pick_block(B)
-    sp = _specs(T, Bt)
+    Hm = h0_f.shape[1]  # model hidden size: any lane-width multiple
+    assert threeH == 3 * Hm and Hm % 128 == 0, (threeH, Hm)
+    Bt = _pick_block(B, h=Hm)
+    sp = _specs(T, Bt, Hm)
     grid = (B // Bt, T)
     # time-reversed streams for the forward direction (its recurrence is
     # unwound T-1 -> 0), forward-ordered for the backward direction (its
@@ -291,34 +294,34 @@ def fused_bigru_window_train_bwd(
         functools.partial(_bwd_kernel, T=T),
         grid=grid,
         in_specs=[
-            sp["stream"](3 * H, True), sp["stream"](3 * H, False),
-            sp["stream_shifted"](H, True), sp["stream_shifted"](H, False),
+            sp["stream"](3 * Hm, True), sp["stream"](3 * Hm, False),
+            sp["stream_shifted"](Hm, True), sp["stream_shifted"](Hm, False),
             sp["vec"], sp["vec"],
-            sp["stream"](H, True), sp["stream"](H, False),
+            sp["stream"](Hm, True), sp["stream"](Hm, False),
             sp["vec"], sp["vec"],
-            sp["w"](H, 3 * H), sp["w"](H, 3 * H),
-            sp["w"](3 * H, H), sp["w"](3 * H, H),
+            sp["w"](Hm, 3 * Hm), sp["w"](Hm, 3 * Hm),
+            sp["w"](3 * Hm, Hm), sp["w"](3 * Hm, Hm),
             sp["bias"], sp["bias"],
         ],
         out_specs=[
-            sp["stream"](3 * H, True), sp["stream"](3 * H, False),
+            sp["stream"](3 * Hm, True), sp["stream"](3 * Hm, False),
             sp["vec"], sp["vec"],
-            sp["w"](H, 3 * H), sp["w"](H, 3 * H),
+            sp["w"](Hm, 3 * Hm), sp["w"](Hm, 3 * Hm),
             sp["bias"], sp["bias"],
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
-            jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
-            jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
-            jax.ShapeDtypeStruct((1, 3 * H), jnp.float32),
-            jax.ShapeDtypeStruct((1, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, 3 * Hm), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, 3 * Hm), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hm), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hm), jnp.float32),
+            jax.ShapeDtypeStruct((Hm, 3 * Hm), jnp.float32),
+            jax.ShapeDtypeStruct((Hm, 3 * Hm), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * Hm), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * Hm), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Bt, H), jnp.float32),
-            pltpu.VMEM((Bt, H), jnp.float32),
+            pltpu.VMEM((Bt, Hm), jnp.float32),
+            pltpu.VMEM((Bt, Hm), jnp.float32),
         ],
         interpret=interpret,
     )(xp_f, xp_b, out_f, out_b, h0_f, h0_b, dout_f, dout_b, dhf, dhb,

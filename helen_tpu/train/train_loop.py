@@ -295,6 +295,7 @@ class Trainer:
         model_cfg=MODEL,
         pack: bool = False,
         cache_dir: Optional[str] = None,
+        model_parallel: int = 1,
     ):
         import jax
         import jax.numpy as jnp
@@ -352,10 +353,68 @@ class Trainer:
                  self.model_cfg.gru_layers)
         self.n_procs = jax.process_count()
         self.pid = jax.process_index()
-        self.step_fn, self.shard_multiple = make_train_step(
-            self.tx, data_parallel, precision, backend=backend,
-            params=self.params,
-        )
+        if model_parallel > 1:
+            # dp x tp over the local chips: params tensor-sharded on the
+            # "model" axis (GRU gate projections on 3H, heads on 2H input),
+            # batch sharded on "data"; XLA/GSPMD inserts the all-gathers and
+            # the gradient reduce. For the 470K-param flagship this is a
+            # scale surface (it halves per-chip weight residency and proves
+            # the sharding layout), not a speed win — the docstring math in
+            # parallel/sharding.py. Single-process only: a multi-host job
+            # uses the shard_map DP trainer above, whose host-local batch
+            # feeding and psum lockstep the GSPMD path does not replicate.
+            from helen_tpu.parallel.mesh import make_mesh
+            from helen_tpu.parallel.sharding import (
+                make_sharded_train_step,
+                shard_params,
+            )
+
+            if self.n_procs > 1:
+                raise ValueError(
+                    "model_parallel > 1 drives the GSPMD dp x tp step over "
+                    "one process's chips; multi-host jobs use the shard_map "
+                    "data-parallel trainer (drop --model_parallel)"
+                )
+            if backend not in ("auto", "xla"):
+                log.warning(
+                    "model_parallel > 1 tensor-shards w_hh through the "
+                    "lax.scan recurrence (Mosaic custom calls cannot be "
+                    "GSPMD-partitioned); backend %r ignored", backend)
+            mesh = make_mesh(jax.local_devices(), model_parallel=model_parallel)
+            if mesh.shape["model"] != model_parallel:
+                log.warning("model_parallel=%d does not divide %d devices; "
+                            "using %d", model_parallel,
+                            len(jax.local_devices()), mesh.shape["model"])
+            self.params = shard_params(mesh, self.params)
+            # the optimizer state mirrors the param tree, so tx.init on the
+            # sharded params yields the matching sharded layout for mu/nu;
+            # leaves NOT derived from params (adam's step count) come out on
+            # the default device — replicate those onto the mesh. Re-place
+            # the (possibly checkpoint-loaded) state accordingly.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh_devs = set(mesh.devices.flat)
+            rep = NamedSharding(mesh, P())
+            template = self.tx.init(self.params)
+            self.opt_state = jax.device_put(
+                self.opt_state,
+                jax.tree_util.tree_map(
+                    lambda t: t.sharding
+                    if set(t.sharding.device_set) == mesh_devs else rep,
+                    template,
+                ),
+            )
+            self.step_fn = make_sharded_train_step(
+                mesh, self.tx, precision=precision, params=self.params
+            )
+            self.shard_multiple = mesh.shape["data"]
+            log.info("GSPMD training mesh: data=%d x model=%d",
+                     mesh.shape["data"], mesh.shape["model"])
+        else:
+            self.step_fn, self.shard_multiple = make_train_step(
+                self.tx, data_parallel, precision, backend=backend,
+                params=self.params,
+            )
         # eff_batch is the GLOBAL batch (cfg.batch_size rounded up to the
         # job's device count); each host feeds eff_local rows of it
         self.eff_batch = -(-cfg.batch_size // self.shard_multiple) * self.shard_multiple
@@ -572,6 +631,7 @@ def train_interface(
     hidden_size: int = MODEL.hidden_size,
     gru_layers: int = MODEL.gru_layers,
     pack: bool = False,
+    model_parallel: int = 1,
 ) -> List[EpochStats]:
     """CLI entry: timestamped model/stats dirs like the reference
     (TrainInterface.py + FileManager.py:25-48). hidden_size/gru_layers pick
@@ -610,6 +670,7 @@ def train_interface(
         backend=backend,
         model_cfg=model_cfg,
         pack=pack,
+        model_parallel=model_parallel,
         # cache in the STABLE output root, not the per-run timestamped dir,
         # so later runs over the same image set reuse the pack
         cache_dir=ensure_output_dir(output_dir),

@@ -17,17 +17,26 @@ def test_pick_block():
     assert _pick_block(1024) == 256
     assert _pick_block(512) == 256
     assert _pick_block(320) == 160
+    # the batch block scales down with the hidden size to hold the kernel's
+    # VMEM residency roughly constant across geometries
+    assert _pick_block(1024, h=256) == 128
+    assert _pick_block(1024, h=512) == 64
+    assert _pick_block(48, h=256) == 48
 
 
-@pytest.mark.parametrize("T,B,D", [(8, 16, 90), (5, 8, 256)])
-def test_fused_matches_scan_interpret(T, B, D):
+@pytest.mark.parametrize(
+    "T,B,D,H", [(8, 16, 90, 128), (5, 8, 256, 128), (5, 8, 90, 256)]
+)
+def test_fused_matches_scan_interpret(T, B, D, H):
+    """Infer-kernel parity vs lax.scan, incl. a non-flagship hidden size
+    (H=256) — the kernels serve any lane-width multiple, not just 128."""
     params = jax.tree_util.tree_map(
-        jnp.asarray, bigru_init(jax.random.PRNGKey(0), D, 128)
+        jnp.asarray, bigru_init(jax.random.PRNGKey(0), D, H)
     )
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((T, B, D)), dtype=jnp.float32)
-    h0f = jnp.asarray(rng.standard_normal((B, 128)), dtype=jnp.float32)
-    h0b = jnp.asarray(rng.standard_normal((B, 128)), dtype=jnp.float32)
+    h0f = jnp.asarray(rng.standard_normal((B, H)), dtype=jnp.float32)
+    h0b = jnp.asarray(rng.standard_normal((B, H)), dtype=jnp.float32)
     ref_out, ref_hf, ref_hb = bigru_apply(params, x, h0f, h0b)
     got_out, got_hf, got_hb = bigru_apply_fused(
         params, x, h0f, h0b, interpret=True
@@ -37,21 +46,25 @@ def test_fused_matches_scan_interpret(T, B, D):
     np.testing.assert_allclose(np.asarray(got_hb), np.asarray(ref_hb), atol=1e-5)
 
 
-@pytest.mark.parametrize("T,B,D", [(7, 16, 90), (4, 8, 256)])
-def test_train_kernel_grad_matches_scan_interpret(T, B, D):
+@pytest.mark.parametrize(
+    "T,B,D,H", [(7, 16, 90, 128), (4, 8, 256, 128), (4, 8, 90, 256)]
+)
+def test_train_kernel_grad_matches_scan_interpret(T, B, D, H):
     """Value AND gradient parity of the fused train kernel (custom VJP) vs the
     lax.scan bi-GRU, in interpret mode: d/d{params, x, h0} of a loss that
-    exercises every output cotangent (outputs + both final hiddens)."""
+    exercises every output cotangent (outputs + both final hiddens). Includes
+    a non-flagship hidden size (H=256): kernels serve any lane-width
+    multiple."""
     params = jax.tree_util.tree_map(
-        jnp.asarray, bigru_init(jax.random.PRNGKey(2), D, 128)
+        jnp.asarray, bigru_init(jax.random.PRNGKey(2), D, H)
     )
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((T, B, D)), dtype=jnp.float32)
-    h0f = jnp.asarray(rng.standard_normal((B, 128)), dtype=jnp.float32)
-    h0b = jnp.asarray(rng.standard_normal((B, 128)), dtype=jnp.float32)
-    w_out = jnp.asarray(rng.standard_normal((T, B, 256)), dtype=jnp.float32)
-    w_hf = jnp.asarray(rng.standard_normal((B, 128)), dtype=jnp.float32)
-    w_hb = jnp.asarray(rng.standard_normal((B, 128)), dtype=jnp.float32)
+    h0f = jnp.asarray(rng.standard_normal((B, H)), dtype=jnp.float32)
+    h0b = jnp.asarray(rng.standard_normal((B, H)), dtype=jnp.float32)
+    w_out = jnp.asarray(rng.standard_normal((T, B, 2 * H)), dtype=jnp.float32)
+    w_hf = jnp.asarray(rng.standard_normal((B, H)), dtype=jnp.float32)
+    w_hb = jnp.asarray(rng.standard_normal((B, H)), dtype=jnp.float32)
 
     def loss(apply_fn, p, xx, hf0, hb0):
         out, hf, hb = apply_fn(p, xx, hf0, hb0)
@@ -124,6 +137,33 @@ def test_resolve_backend_validation():
         resolve_backend("pallas_train", "infer")
     with pytest.raises(ValueError):
         resolve_backend("pallas", "train")
+
+
+def test_resolve_backend_geometry_gate(monkeypatch):
+    """On TPU, Pallas backends serve any hidden_size % 128 == 0 geometry;
+    other hidden sizes fall back to xla (resolve_backend gates on the model
+    geometry recovered from the params pytree)."""
+    import dataclasses
+
+    from helen_tpu.config import MODEL
+    from helen_tpu.models.transducer import init_params, resolve_backend
+
+    class _FakeTpu:
+        platform = "tpu"
+
+    monkeypatch.setattr(jax, "local_devices", lambda: [_FakeTpu()])
+    p128 = init_params(jax.random.PRNGKey(0), MODEL)
+    p256 = init_params(
+        jax.random.PRNGKey(0), dataclasses.replace(MODEL, hidden_size=256)
+    )
+    p100 = init_params(
+        jax.random.PRNGKey(0), dataclasses.replace(MODEL, hidden_size=100)
+    )
+    assert resolve_backend("pallas", "infer", params=p128) == "pallas"
+    assert resolve_backend("pallas", "infer", params=p256) == "pallas"
+    assert resolve_backend("pallas_train", "train", params=p256) == "pallas_train"
+    assert resolve_backend("pallas", "infer", params=p100) == "xla"
+    assert resolve_backend("pallas_train", "train", params=p100) == "xla"
 
 
 def test_train_kernel_forward_matches_scan_interpret():
