@@ -340,6 +340,13 @@ def main(argv=None) -> int:
         params, meta = load_model_any(args.input)
         if args.output.endswith(".pkl"):
             export_torch_checkpoint(args.output, params, meta)
+        elif args.output.endswith(".onnx"):
+            # the reference's CPU path exports ONNX (predict_cpu.py:224-239);
+            # export verifies itself by parsing the bytes back and running a
+            # batch through the numpy evaluator against the jax model
+            from helen_tpu.io.onnx_export import export_onnx
+
+            export_onnx(params, args.output)
         else:
             save_checkpoint(args.output, params, meta=meta)
         print(args.output)
