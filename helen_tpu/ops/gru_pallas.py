@@ -41,8 +41,23 @@ gates in bf16 (fast mode) trips a Mosaic verifier bug ('vector.broadcast'
 f32 -> bf16 in the logistic lowering) — and an ablation shows the kernel is
 VPU-transcendental-bound anyway (~1.5 us/grid-step vs ~0.13 us of MXU dot
 at Bt=256; 38 chained launches = 70% of the whole fast program), so exact
-sigmoid/tanh put fast mode near its per-chip floor. Revisit (a)/(d) on a
-newer Mosaic.
+sigmoid/tanh put fast mode near its per-chip floor.
+
+Retested 2026-08-19 on the then-current Mosaic: the (a)-class emitter bugs
+are FIXED (dual-direction same-input streams, (2,1,3H) bias blocks, and
+batched (2,Bt,H)x(2,H,3H) dot_general all compile), but a stacked-state
+variant (per-direction MXU dots + direction-stacked VPU gates, bit-exact
+outputs) measures 1.00x parity / 1.03x fast — confirming the kernel is
+VPU-transcendental-THROUGHPUT-bound, not op-count-bound, so the stacked
+layout's old 1.8x isolation number does not transfer into this kernel.
+(A fully-batched dot feeding a broadcast-bias add + sigmoid still crashes
+ApplyVectorLayout, array.h:480 limits<=dim(i), inside the full grid — but
+the working per-direction-dot variant shows there is nothing to gain.)
+Cheap gate-math rewrites (sigmoid as 0.5*tanh(0.5x)+0.5; h = n + z*(h-n))
+measure at most 1.04x and perturb last-ulp rounding — rejected to keep the
+parity tier's audited numerics. (d) still fails verification on bf16
+vectors. Conclusion: the per-step recurrence is at its per-chip floor;
+remaining end-to-end headroom lives outside this kernel.
 """
 from __future__ import annotations
 
