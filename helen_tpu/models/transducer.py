@@ -324,10 +324,15 @@ def resolve_backend(requested, kind: str, log=None, params=None) -> str:
 
     When ``params`` is given, Pallas backends additionally require a
     lane-width-multiple hidden size (H % 128 == 0 — gate slices must land
-    on 128-aligned lane offsets; block shapes scale with H); other hidden
-    sizes fall back to the lax.scan path with a log line. Layer count does
-    not matter: the fused kernels run per window per layer, whatever the
-    stack depth.
+    on 128-aligned lane offsets; block shapes scale with H) AND a geometry
+    whose grid-constant weight blocks fit the per-core VMEM budget (the
+    O(H^2) blocks outgrow the conservative 16 MiB floor around H=768 for
+    inference and H=384 for the train kernels; 128 MiB generations like
+    v5e admit much larger H — see ops.gru_pallas.vmem_budget_bytes /
+    infer_vmem_bytes / ops.gru_pallas_train.train_vmem_bytes); other
+    hidden sizes fall back to the lax.scan path with a log line. Layer
+    count does not matter: the fused kernels run per window per layer,
+    whatever the stack depth.
     """
     import jax
 
@@ -356,5 +361,18 @@ def resolve_backend(requested, kind: str, log=None, params=None) -> str:
                 log.warning(
                     "backend %r needs hidden_size %% 128 == 0 (model has %d); "
                     "falling back to 'xla'", resolved, h)
+            return "xla"
+        # the kernels hold O(h^2) grid-constant weight blocks in VMEM; past
+        # a hidden size Mosaic cannot fit them and the compile would fail
+        # mid-job — fall back to the lax.scan path instead
+        if kind == "infer":
+            from helen_tpu.ops.gru_pallas import infer_fits_vmem as _fits
+        else:
+            from helen_tpu.ops.gru_pallas_train import train_fits_vmem as _fits
+        if not _fits(h):
+            if log is not None:
+                log.warning(
+                    "backend %r: hidden_size %d exceeds the kernel's VMEM "
+                    "budget; falling back to 'xla'", resolved, h)
             return "xla"
     return resolved

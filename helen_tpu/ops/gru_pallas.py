@@ -69,9 +69,11 @@ import jax.numpy as jnp
 
 # Flagship hidden size (config.MODEL.hidden_size). The kernels themselves
 # serve ANY hidden size that is a lane-width multiple (H % 128 == 0): gate
-# slices land on 128-aligned lane offsets and block shapes scale with H
-# (models.transducer.resolve_backend gates on that condition; other sizes
-# fall back to lax.scan).
+# slices land on 128-aligned lane offsets and block shapes scale with H.
+# models.transducer.resolve_backend gates on that condition AND on the
+# VMEM residency estimate below (the grid-constant weight blocks are
+# O(H^2) and outgrow VMEM around H=768); other geometries fall back to
+# lax.scan.
 H = 128
 
 
@@ -144,12 +146,65 @@ def _kernel(
         hb_ref[:] = hb_new
 
 
+# Per-core VMEM floor for unknown/older TPU generations. The gate keeps a
+# headroom fraction free for Mosaic's own spills, semaphores and pipeline
+# bookkeeping.
+VMEM_BUDGET_BYTES = 16 * 1024 * 1024
+_VMEM_USABLE = 0.9
+# Generations with 128 MiB of per-core VMEM (matched as substrings of
+# device_kind, lowercased — the live v5e here reports "TPU v5 lite").
+_BIG_VMEM_KINDS = ("v5 lite", "v5litepod", "v5e", "v5p", "v6")
+
+
+def vmem_budget_bytes(device=None) -> int:
+    """Per-core VMEM of the local accelerator. v5e/v5p/v6e carry 128 MiB;
+    unknown kinds get the conservative 16 MiB floor. Calibrated on the live
+    v5e: an H=1024 parity kernel (~27 MiB resident) compiles and runs,
+    while the floor alone would reject anything past H=640."""
+    import jax
+
+    try:
+        dev = device if device is not None else jax.local_devices()[0]
+        kind = str(getattr(dev, "device_kind", "")).lower()
+    except Exception:
+        return VMEM_BUDGET_BYTES
+    if any(k in kind for k in _BIG_VMEM_KINDS):
+        return 128 * 1024 * 1024
+    return VMEM_BUDGET_BYTES
+
+
+def _block_target(h: int) -> int:
+    """Batch-block target for hidden size h: scale down with h so the
+    stream-side VMEM residency (~ Bt*h) stays constant."""
+    return max(8, (256 * H // h) // 8 * 8)
+
+
+def infer_vmem_bytes(h: int, bt: int = 0) -> int:
+    """Worst-case (parity-mode) VMEM residency of :func:`fused_bigru_window`.
+
+    The weight blocks are grid-constant and O(h^2): 4 bf16 (h, 3h) blocks
+    (hi+lo per direction). Streams (xp in, out) are double-buffered and
+    O(Bt*h). Only Bt scales down with h, so past a hidden size the weights
+    alone exceed VMEM — resolve_backend must reject those geometries rather
+    than let Mosaic fail the compile mid-job."""
+    bt = bt or _block_target(h)
+    weights = 4 * 3 * h * h * 2              # wf/wb hi+lo, bf16
+    streams = (2 * 3 * h + 2 * h) * 2 * 4 * bt  # xp in + out, f32, 2x buffered
+    vectors = 6 * bt * h * 4                 # h0 + hfin + scratch per direction
+    return weights + streams + vectors
+
+
+def infer_fits_vmem(h: int, budget: int = 0) -> bool:
+    budget = budget or vmem_budget_bytes()
+    return infer_vmem_bytes(h) <= int(budget * _VMEM_USABLE)
+
+
 def _pick_block(B: int, target: int = 0, h: int = H) -> int:
     if not target:
         # scale the batch block down with the hidden size so the kernel's
         # VMEM residency (streams + weights + double buffers ~ Bt*H) stays
         # inside the ~16 MB budget at larger geometries
-        target = max(8, (256 * H // h) // 8 * 8)
+        target = _block_target(h)
     if B <= target:
         return B
     b = target

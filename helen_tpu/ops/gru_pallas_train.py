@@ -57,7 +57,39 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from helen_tpu.ops.gru_pallas import H, _pick_block
+from helen_tpu.ops.gru_pallas import (
+    H,
+    _VMEM_USABLE,
+    _block_target,
+    _pick_block,
+    vmem_budget_bytes,
+)
+
+
+def train_vmem_bytes(h: int, bt: int = 0) -> int:
+    """Worst-case VMEM residency of the TRAIN kernels — the backward pass
+    dominates: per direction it holds w, wT (inputs) and the dw accumulator
+    (output) grid-constant in fp32, i.e. 72*h^2 bytes of weight-class blocks
+    alone, plus the double-buffered xp/h_prev/dout/dxp streams. Used by
+    resolve_backend to reject geometries Mosaic could not fit."""
+    bt = bt or _block_target(h)
+    weights = (4 + 2) * 3 * h * h * 4        # w + wT in, dw out, per direction
+    streams = (2 * 3 * h + 2 * h + 2 * h + 2 * 3 * h) * 2 * 4 * bt
+    vectors = 8 * bt * h * 4                 # h0/dh/dh0 vecs + scratch
+    return weights + streams + vectors
+
+
+# Empirical cap for the TRAIN kernels, measured on the live v5e (128 MiB
+# VMEM): H=512 (23 MiB estimate) compiles and runs, H=640 (32.8 MiB) fails
+# in the Mosaic compile — the backward's grid-revisited dw accumulators hit
+# a resource wall well below the chip's nominal VMEM. The infer kernel has
+# no such cap (validated through H=1536, 56 MiB resident).
+_TRAIN_VMEM_CAP = 32 * 1024 * 1024
+
+
+def train_fits_vmem(h: int, budget: int = 0) -> bool:
+    budget = min(budget or vmem_budget_bytes(), _TRAIN_VMEM_CAP)
+    return train_vmem_bytes(h) <= int(budget * _VMEM_USABLE)
 
 
 def _gates_train(h_prev, xp, w, b_hh):

@@ -112,7 +112,12 @@ def broadcast_name(name: str, max_len: int = 256) -> str:
 
 def allsum_hosts(array: np.ndarray) -> np.ndarray:
     """Sum a small host-local numpy array (e.g. a confusion matrix) across
-    all hosts. Identity in single-process runs."""
+    all hosts. Identity in single-process runs.
+
+    The transfer rides jax's default x64-disabled mode, so values are
+    carried as float32: every host computes the SAME rounded sum (the
+    property LR-plateau lockstep needs), but elements above 2^24 lose
+    integer exactness — use :func:`allsum_hosts_exact` for counts."""
     import jax
 
     if jax.process_count() == 1:
@@ -121,6 +126,36 @@ def allsum_hosts(array: np.ndarray) -> np.ndarray:
 
     gathered = multihost_utils.process_allgather(array)
     return np.asarray(gathered).sum(axis=0)
+
+
+def _split_limbs(values: np.ndarray) -> np.ndarray:
+    """Non-negative integer-valued array -> (3, ...) float64 16-bit limbs."""
+    v = np.rint(np.asarray(values)).astype(np.int64)
+    if (v < 0).any():
+        raise ValueError("allsum_hosts_exact requires non-negative counts")
+    return np.stack([v & 0xFFFF, (v >> 16) & 0xFFFF, v >> 32]).astype(np.float64)
+
+
+def _combine_limbs(limbs: np.ndarray) -> np.ndarray:
+    l = np.rint(np.asarray(limbs)).astype(np.int64)
+    return l[0] + (l[1] << 16) + (l[2] << 32)
+
+
+def allsum_hosts_exact(counts: np.ndarray) -> np.ndarray:
+    """Sum non-negative integer-valued arrays across hosts EXACTLY.
+
+    :func:`allsum_hosts` carries float32 over the wire (jax x64-disabled),
+    which silently rounds counts above 2^24 — genome-scale confusion-matrix
+    cells cross that at only ~17K images of 1000 columns. Here each value is
+    split into 16-bit limbs, each limb summed in float32 (exact while a limb
+    sum stays below 2^24, i.e. up to 256 hosts with per-host values below
+    2^48), then recombined in int64. Returns int64."""
+    import jax
+
+    v = np.rint(np.asarray(counts)).astype(np.int64)
+    if jax.process_count() == 1:
+        return v
+    return _combine_limbs(allsum_hosts(_split_limbs(v)))
 
 
 def coordination_client():

@@ -178,22 +178,24 @@ def evaluate(
         cm_base += cb
         cm_rle += cr
     if multi:
-        from helen_tpu.parallel.multihost import allsum_hosts
+        from helen_tpu.parallel.multihost import allsum_hosts, allsum_hosts_exact
 
-        # one allgather for everything: [loss, images, cm_base..., cm_rle...]
-        # (jax's default x64-disabled mode carries this as float32: counts
-        # stay exact below 2^24 per cell and the loss is rounded the SAME
-        # way on every host, which is the property the scheduler needs)
-        packed = np.concatenate([
-            np.asarray([total_loss, float(total_images)], dtype=np.float64),
+        # loss: float32 over the wire — rounded the SAME way on every host,
+        # which is the property the LR scheduler needs. Counts (image totals
+        # and confusion-matrix cells) go through the limb-exact sum: the
+        # plain float32 path silently rounds cells above 2^24, reachable at
+        # only ~17K images of 1000 columns per host.
+        total_loss = float(allsum_hosts(
+            np.asarray([total_loss], dtype=np.float64))[0])
+        counts = allsum_hosts_exact(np.concatenate([
+            np.asarray([total_images], dtype=np.float64),
             cm_base.ravel(), cm_rle.ravel(),
-        ])
-        packed = allsum_hosts(packed)
-        total_loss = float(packed[0])
-        total_images = int(packed[1])
+        ]))
+        total_images = int(counts[0])
         nb2 = cm_base.size
-        cm_base = packed[2 : 2 + nb2].reshape(cm_base.shape)
-        cm_rle = packed[2 + nb2 :].reshape(cm_rle.shape)
+        # back to float64 integer-valued arrays, matching single-host output
+        cm_base = counts[1 : 1 + nb2].reshape(cm_base.shape).astype(np.float64)
+        cm_rle = counts[1 + nb2 :].reshape(cm_rle.shape).astype(np.float64)
     avg_loss = total_loss / total_images if total_images else 0.0
     return {
         "loss": float(avg_loss),

@@ -427,10 +427,13 @@ class Trainer:
         # (built once, reused across runs via cache_dir) removes that.
         # Packed indices equal dataset indices (pack_images writes in index
         # order), so the epoch permutation — and mid-epoch resume — replay
-        # byte-identical data order on either path. Each host packs its own
-        # file: the trainer's host slices are scattered permutation rows, so
-        # every host needs the full set, and per-host names avoid build
-        # races on shared filesystems.
+        # byte-identical data order on either path. Multi-host: every host
+        # needs the FULL set (its slices are scattered permutation rows),
+        # but the content is byte-identical, so host 0 packs ONE shared
+        # cache and the others wait at a barrier instead of N hosts each
+        # re-reading and re-writing the whole training set. If the cache
+        # dir is NOT a shared filesystem, the post-barrier freshness check
+        # fails on the other hosts and each falls back to a host-local pack.
         self.packed_train = None
         if pack:
             from helen_tpu.io.packed import (
@@ -439,14 +442,34 @@ class Trainer:
                 pack_images,
             )
 
-            cache_name = ("train_images_cache.h5" if self.n_procs == 1
-                          else f"train_images_cache_{self.pid}.h5")
-            cache_path = os.path.join(cache_dir or model_dir, cache_name)
-            if not cache_is_fresh(cache_path, self.train_files,
-                                  with_labels=True):
-                log.info("building packed training cache %s", cache_path)
-                pack_images(self.train_files, cache_path, IMAGE,
-                            with_labels=True, dataset=self.dataset)
+            cache_path = os.path.join(cache_dir or model_dir,
+                                      "train_images_cache.h5")
+            if self.n_procs == 1:
+                if not cache_is_fresh(cache_path, self.train_files,
+                                      with_labels=True):
+                    log.info("building packed training cache %s", cache_path)
+                    pack_images(self.train_files, cache_path, IMAGE,
+                                with_labels=True, dataset=self.dataset)
+            else:
+                from helen_tpu.parallel.multihost import barrier
+
+                if self.pid == 0 and not cache_is_fresh(
+                        cache_path, self.train_files, with_labels=True):
+                    log.info("building shared packed training cache %s",
+                             cache_path)
+                    pack_images(self.train_files, cache_path, IMAGE,
+                                with_labels=True, dataset=self.dataset)
+                barrier("train-pack-complete")
+                if not cache_is_fresh(cache_path, self.train_files,
+                                      with_labels=True):
+                    # cache dir not shared across hosts: pack locally
+                    cache_path = os.path.join(
+                        cache_dir or model_dir,
+                        f"train_images_cache_{self.pid}.h5")
+                    log.info("shared cache not visible on host %d; building "
+                             "local %s", self.pid, cache_path)
+                    pack_images(self.train_files, cache_path, IMAGE,
+                                with_labels=True, dataset=self.dataset)
             self.packed_train = PackedDataset(cache_path, with_labels=True)
             assert len(self.packed_train) == len(self.dataset)
         # built once: evaluate() runs every epoch and re-indexing all test

@@ -57,10 +57,19 @@ def main() -> None:
     ref.ModelHandler.save_model(model, opt, ref.TrainOptions.HIDDEN_SIZE,
                                 ref.TrainOptions.GRU_LAYERS, 0, pkl)
 
+    import gzip
     import tempfile
 
     with tempfile.TemporaryDirectory() as tmp:
         image_file = stage_golden_images(tmp)
+        # re-vendor the staged images alongside the outputs they produced:
+        # the byte-identity tests must see THESE bytes, not a future numpy
+        # Generator's re-rolled ones (distribution methods carry no stream
+        # guarantee)
+        with open(image_file, "rb") as src, gzip.open(
+                os.path.join(HERE, "golden_images.h5.gz"), "wb",
+                compresslevel=9) as dst:
+            dst.write(src.read())
         model, _, _, _ = ref.ModelHandler.load_simple_model(
             pkl,
             input_channels=ref.ImageSizeOptions.IMAGE_CHANNELS,

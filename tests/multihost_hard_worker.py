@@ -114,8 +114,22 @@ def main() -> int:
             num_workers=2,
             resume=(mode == "resume"),
         )
+        if mode == "consensus":
+            # the parent SIGKILLs a peer mid-run: waiting the default 24h
+            # (or even the ~100s heartbeat detection) would outlive the
+            # test's communicate() timeout. This host's shard is complete
+            # and flushed — a dead peer at this barrier is the scenario
+            # under test, not a failure; tolerate it and exit clean.
+            try:
+                multihost.barrier("consensus-shards-complete", timeout_s=45.0)
+            except Exception as exc:
+                print(f"BARRIER_DEAD_PEER_TOLERATED {type(exc).__name__}",
+                      flush=True)
+                return 0
+            print(f"OK {pid} {files}", flush=True)
+            return 0
         multihost.barrier("consensus-shards-complete")
-        if mode == "resume" and pid == 0:
+        if pid == 0:
             from helen_tpu.infer.polish import perform_stitch
 
             perform_stitch(out_dir, workdir, "recovered", threads=1)

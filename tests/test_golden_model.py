@@ -25,6 +25,7 @@ GOLDEN_LABELS = os.path.join(GOLDEN_DIR, "golden_labels.npz")
 # the deterministic synthetic image set the golden outputs were recorded on
 # (make_golden.py imports this so the two can never drift)
 GOLDEN_IMAGE_SPEC = {"gA": (12000, 31), "gB": (8200, 32), "gC": (4600, 33)}
+GOLDEN_IMAGES_GZ = os.path.join(GOLDEN_DIR, "golden_images.h5.gz")
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(GOLDEN_PKL), reason="golden fixture not generated"
@@ -32,11 +33,24 @@ pytestmark = pytest.mark.skipif(
 
 
 def stage_golden_images(directory: str) -> str:
-    """Write the fixture's image file (deterministic: numpy Generator streams
-    are stability-guaranteed across versions)."""
-    from helen_tpu.io.synthetic import random_sequence, write_image_file
+    """Stage the fixture's image file.
+
+    The vendored gzip is the source of truth: numpy exempts Generator
+    DISTRIBUTION methods (integers, standard_normal, ...) from its stream-
+    compatibility guarantee — only RandomState carries it — so regenerating
+    the images on a future numpy could silently produce different bytes and
+    fail every golden byte-identity test even with a correct pipeline.
+    Regeneration (make_golden.py, or the fallback below when the gz is
+    absent) must be paired with re-recording the golden outputs."""
+    import gzip
 
     path = os.path.join(directory, "golden_images.h5")
+    if os.path.exists(GOLDEN_IMAGES_GZ):
+        with gzip.open(GOLDEN_IMAGES_GZ, "rb") as src, open(path, "wb") as dst:
+            dst.write(src.read())
+        return path
+    from helen_tpu.io.synthetic import random_sequence, write_image_file
+
     contigs = {name: random_sequence(n, seed=seed)
                for name, (n, seed) in GOLDEN_IMAGE_SPEC.items()}
     write_image_file(path, contigs, region_cols=1500, overlap_cols=120,

@@ -166,6 +166,71 @@ def test_resolve_backend_geometry_gate(monkeypatch):
     assert resolve_backend("pallas_train", "train", params=p100) == "xla"
 
 
+def test_resolve_backend_vmem_gate(monkeypatch):
+    """H % 128 == 0 is necessary but not sufficient: the kernels hold
+    O(H^2) grid-constant weight blocks in VMEM (24*H^2 bytes parity infer,
+    72*H^2 fp32 for the train backward). Geometries whose residency
+    estimate exceeds the per-core budget must fall back to xla instead of
+    dying with a Mosaic resource-exhausted compile error mid-job."""
+    import dataclasses
+
+    from helen_tpu.config import MODEL
+    from helen_tpu.models.transducer import init_params, resolve_backend
+    from helen_tpu.ops.gru_pallas import (
+        infer_fits_vmem,
+        infer_vmem_bytes,
+        vmem_budget_bytes,
+    )
+    from helen_tpu.ops.gru_pallas_train import train_fits_vmem, train_vmem_bytes
+
+    class _FakeTpu:
+        platform = "tpu"  # no device_kind -> the 16 MiB floor budget
+
+    class _FakeV5e:
+        platform = "tpu"
+        device_kind = "TPU v5 lite"
+
+    monkeypatch.setattr(jax, "local_devices", lambda: [_FakeTpu()])
+    floor = 16 * 1024 * 1024
+    assert vmem_budget_bytes() == floor
+    assert vmem_budget_bytes(_FakeV5e()) == 128 * 1024 * 1024
+    # estimator sanity: weight blocks alone dominate at large H
+    assert infer_vmem_bytes(1024) > 24 * 1024 * 1024  # 25 MB of weights
+    assert train_vmem_bytes(512) > 72 * 512 * 512     # 18.9 MB of weights
+    # at the floor budget (v4-class / unknown chips)
+    assert infer_fits_vmem(128, floor) and infer_fits_vmem(512, floor)
+    assert not infer_fits_vmem(1024, floor)
+    assert train_fits_vmem(128, floor) and train_fits_vmem(256, floor)
+    assert not train_fits_vmem(512, floor)
+    # a 128 MiB generation admits what the floor rejects (H=1024 infer was
+    # validated live on the v5e: ~27 MiB resident, compiles and runs)
+    assert infer_fits_vmem(1024, 128 * 1024 * 1024)
+    assert train_fits_vmem(512, 128 * 1024 * 1024)
+    # ...but the train kernels hit a measured Mosaic resource wall well
+    # below nominal VMEM (H=640 fails on the live v5e): the empirical cap
+    # must reject it regardless of chip budget
+    assert not train_fits_vmem(640, 128 * 1024 * 1024)
+
+    p_big = init_params(
+        jax.random.PRNGKey(0), dataclasses.replace(MODEL, hidden_size=1024)
+    )
+    # the fake device has no device_kind -> floor budget -> fall back
+    assert resolve_backend("pallas", "infer", params=p_big) == "xla"
+    assert resolve_backend("pallas_fast", "infer", params=p_big) == "xla"
+    assert resolve_backend("pallas_train", "train", params=p_big) == "xla"
+    # the train budget is tighter than infer: at the floor, H=512 trains on
+    # xla but infers on the fused kernel
+    p512 = init_params(
+        jax.random.PRNGKey(0), dataclasses.replace(MODEL, hidden_size=512)
+    )
+    assert resolve_backend("pallas", "infer", params=p512) == "pallas"
+    assert resolve_backend("pallas_train", "train", params=p512) == "xla"
+    # on a 128 MiB chip both serve the fused kernels
+    monkeypatch.setattr(jax, "local_devices", lambda: [_FakeV5e()])
+    assert resolve_backend("pallas", "infer", params=p_big) == "pallas"
+    assert resolve_backend("pallas_train", "train", params=p512) == "pallas_train"
+
+
 def test_train_kernel_forward_matches_scan_interpret():
     params = jax.tree_util.tree_map(
         jnp.asarray, bigru_init(jax.random.PRNGKey(3), 90, 128)

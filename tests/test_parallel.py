@@ -144,6 +144,32 @@ def test_multihost_helpers_single_process():
     assert (allsum_hosts(cm) == cm).all()
 
 
+def test_allsum_hosts_exact_preserves_large_counts():
+    """allsum_hosts carries float32 over the wire (x64 disabled), rounding
+    counts above 2^24 — reachable on genome-scale eval confusion matrices.
+    The limb-exact variant must keep such counts exact end to end."""
+    import pytest
+
+    from helen_tpu.parallel.multihost import (
+        _combine_limbs,
+        _split_limbs,
+        allsum_hosts_exact,
+    )
+
+    big = np.array([0, 1, 2**24 + 1, 2**33 + 12345, 2**47 + 7], dtype=np.int64)
+    # the plain float32 wire format demonstrably corrupts these values
+    assert np.float32(big[2]) != big[2] or np.float32(big[3]) != big[3]
+    # limb split/combine round-trips exactly, and each limb fits float32
+    limbs = _split_limbs(big)
+    assert limbs.shape == (3, 5) and limbs.max() < 2**24
+    assert (_combine_limbs(limbs) == big).all()
+    # single-process: identity, int64 out
+    out = allsum_hosts_exact(big.astype(np.float64))
+    assert out.dtype == np.int64 and (out == big).all()
+    with pytest.raises(ValueError):
+        _split_limbs(np.array([-1]))
+
+
 def test_host_image_shard_contiguous_complete():
     """Every image assigned exactly once; per-host slices are contiguous
     (sequential HDF5 reads / packed slab reads) and count-balanced."""
