@@ -153,7 +153,13 @@ VMEM_BUDGET_BYTES = 16 * 1024 * 1024
 _VMEM_USABLE = 0.9
 # Generations with 128 MiB of per-core VMEM (matched as substrings of
 # device_kind, lowercased — the live v5e here reports "TPU v5 lite").
-_BIG_VMEM_KINDS = ("v5 lite", "v5litepod", "v5e", "v5p", "v6")
+# v4 also carries 128 MiB per the public hardware tables (jax-ml scaling
+# book, "TPU v4: VMEM 128 MiB/core"); no v4 chip is reachable from this
+# environment for a live calibration, but the gate already holds back a
+# 10% headroom and the same estimate was validated live on v5e (below),
+# so v4 is classified by spec rather than pinned to the 16 MiB floor
+# (which would push every H>640 geometry onto the slower xla scan).
+_BIG_VMEM_KINDS = ("v4", "v5 lite", "v5litepod", "v5e", "v5p", "v6")
 
 
 def vmem_budget_bytes(device=None) -> int:

@@ -133,6 +133,10 @@ def _split_limbs(values: np.ndarray) -> np.ndarray:
     v = np.rint(np.asarray(values)).astype(np.int64)
     if (v < 0).any():
         raise ValueError("allsum_hosts_exact requires non-negative counts")
+    if (v >= 1 << 48).any():
+        # the top limb is carried unmasked; values >= 2^48 would overflow it
+        # and break the EXACT contract silently — fail loudly like negatives
+        raise ValueError("allsum_hosts_exact requires per-host values < 2**48")
     return np.stack([v & 0xFFFF, (v >> 16) & 0xFFFF, v >> 32]).astype(np.float64)
 
 

@@ -451,15 +451,36 @@ class Trainer:
                     pack_images(self.train_files, cache_path, IMAGE,
                                 with_labels=True, dataset=self.dataset)
             else:
-                from helen_tpu.parallel.multihost import barrier
+                from helen_tpu.parallel.multihost import (
+                    barrier,
+                    broadcast_name,
+                )
 
+                # If host 0's pack raises (disk full, corrupt input) it must
+                # STILL reach the barrier — otherwise hosts 1..N-1 park for
+                # the 24h default timeout — and the failure must fan out
+                # loudly to every host instead of each one "falling back" to
+                # a local pack of the same corrupt input.
+                pack_exc = None
                 if self.pid == 0 and not cache_is_fresh(
                         cache_path, self.train_files, with_labels=True):
                     log.info("building shared packed training cache %s",
                              cache_path)
-                    pack_images(self.train_files, cache_path, IMAGE,
-                                with_labels=True, dataset=self.dataset)
+                    try:
+                        pack_images(self.train_files, cache_path, IMAGE,
+                                    with_labels=True, dataset=self.dataset)
+                    except Exception as exc:  # re-raised after the barrier
+                        pack_exc = exc
                 barrier("train-pack-complete")
+                status = broadcast_name(
+                    "ok" if pack_exc is None
+                    else f"pack failed: {pack_exc}"[:256])
+                if pack_exc is not None:
+                    raise pack_exc
+                if status != "ok":
+                    raise RuntimeError(
+                        f"host 0 packed-cache build failed ({status}); "
+                        "aborting on all hosts")
                 if not cache_is_fresh(cache_path, self.train_files,
                                       with_labels=True):
                     # cache dir not shared across hosts: pack locally

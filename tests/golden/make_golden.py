@@ -29,7 +29,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(os.path.dirname(HERE))
 sys.path.insert(0, REPO)
 
-from tests.test_golden_model import GOLDEN_IMAGE_SPEC, stage_golden_images  # noqa: E402
+from tests.test_golden_model import GOLDEN_IMAGE_SPEC  # noqa: E402
 from tests.test_reference_oracle import (  # noqa: E402
     import_reference,
     load_images_like_reference,
@@ -61,7 +61,18 @@ def main() -> None:
     import tempfile
 
     with tempfile.TemporaryDirectory() as tmp:
-        image_file = stage_golden_images(tmp)
+        # ALWAYS regenerate from GOLDEN_IMAGE_SPEC — never reuse the vendored
+        # gz (which stage_golden_images prefers): re-recording must track the
+        # spec, otherwise editing the spec and re-running this script would
+        # silently record goldens on the OLD image bytes and the two drift.
+        from helen_tpu.io.synthetic import random_sequence, write_image_file
+
+        image_file = os.path.join(tmp, "golden_images.h5")
+        contigs = {name: random_sequence(n, seed=seed)
+                   for name, (n, seed) in GOLDEN_IMAGE_SPEC.items()}
+        write_image_file(image_file, contigs, region_cols=1500,
+                         overlap_cols=120, noise=0.15, with_labels=False,
+                         seed=9)
         # re-vendor the staged images alongside the outputs they produced:
         # the byte-identity tests must see THESE bytes, not a future numpy
         # Generator's re-rolled ones (distribution methods carry no stream
