@@ -3,7 +3,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-import torch
+import pytest
+torch = pytest.importorskip("torch")
 
 from helen_tpu.io.checkpoint import (
     import_torch_checkpoint,

@@ -4,7 +4,7 @@ import subprocess
 import sys
 
 import pytest
-import torch
+torch = pytest.importorskip("torch")
 
 from helen_tpu.cli import main
 from helen_tpu.io.download import download_models

@@ -9,7 +9,7 @@ import os
 
 import numpy as np
 import pytest
-import torch
+torch = pytest.importorskip("torch")
 
 from helen_tpu.config import IMAGE
 from helen_tpu.infer.consensus import call_consensus

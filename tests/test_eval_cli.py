@@ -2,7 +2,7 @@
 import os
 
 import pytest
-import torch
+torch = pytest.importorskip("torch")
 
 from helen_tpu.cli import main
 from helen_tpu.infer.polish import polish

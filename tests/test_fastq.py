@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-import torch
+torch = pytest.importorskip("torch")
 
 from helen_tpu.cli import main
 from helen_tpu.io.fasta import read_fasta, read_fastq

@@ -3,7 +3,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-import torch
+torch = pytest.importorskip("torch")
 
 from helen_tpu.config import MODEL, WINDOW
 from helen_tpu.io.checkpoint import (

@@ -12,7 +12,7 @@ import dataclasses
 import jax
 import numpy as np
 import pytest
-import torch
+torch = pytest.importorskip("torch")
 
 from helen_tpu.config import MODEL, WINDOW
 from helen_tpu.io.checkpoint import params_from_torch_state_dict

@@ -3,7 +3,7 @@ import os
 
 import numpy as np
 import pytest
-import torch
+torch = pytest.importorskip("torch")
 
 from helen_tpu.infer.consensus import call_consensus
 from helen_tpu.io.images import MarginPolishDataset

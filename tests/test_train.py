@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-import torch
+torch = pytest.importorskip("torch")
 
 from helen_tpu.config import TRAIN
 from helen_tpu.io.checkpoint import params_from_torch_state_dict
