@@ -95,6 +95,45 @@ def test_export_onnx_self_verify(tmp_path):
     assert WINDOW.window == 100  # interface contract baked into export
 
 
+def test_onnxruntime_cross_check(tmp_path):
+    """Exported bytes must execute identically under a REAL ONNX runtime —
+    the engine the reference's CPU path actually runs
+    (predict_cpu.py:57-64,116-121) — not only our independent numpy
+    evaluator. Skips where onnxruntime isn't installed; anywhere it is,
+    this closes the interop claim end-to-end: onnxruntime session ==
+    run_onnx == jax forward on the same input_image/input_hidden feeds."""
+    ort = pytest.importorskip("onnxruntime")
+    params = _params(hidden=48, layers=2, seed=3)
+    path = export_onnx(params, str(tmp_path / "m.onnx"), seq_len=20)
+    with open(path, "rb") as f:
+        data = f.read()
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((3, 20, MODEL.input_features)).astype(np.float32)
+    hid = rng.standard_normal((3, 4, 48)).astype(np.float32)
+    feeds = {"input_image": x, "input_hidden": hid}
+
+    sess = ort.InferenceSession(path, providers=["CPUExecutionProvider"])
+    assert [i.name for i in sess.get_inputs()] == ["input_image",
+                                                   "input_hidden"]
+    names = [o.name for o in sess.get_outputs()]
+    assert names == ["output_pred", "output_rle", "output_hidden"]
+    got_ort = dict(zip(names, sess.run(None, feeds)))
+
+    got_np = run_onnx(data, feeds)
+    import jax.numpy as jnp
+    from jax.lax import Precision
+
+    base, rle, hout = forward(params, jnp.asarray(x), jnp.asarray(hid),
+                              precision=Precision.HIGHEST)
+    want = {"output_pred": np.asarray(base), "output_rle": np.asarray(rle),
+            "output_hidden": np.asarray(hout)}
+    for name in names:
+        np.testing.assert_allclose(got_ort[name], got_np[name], atol=1e-4,
+                                   err_msg=f"onnxruntime vs evaluator: {name}")
+        np.testing.assert_allclose(got_ort[name], want[name], atol=1e-4,
+                                   err_msg=f"onnxruntime vs jax: {name}")
+
+
 def test_convert_cli_exports_onnx(tmp_path):
     from helen_tpu.cli import main
     from helen_tpu.io.checkpoint import save_checkpoint

@@ -283,6 +283,159 @@ def test_stitch_parity_vs_reference_code(ref, tmp_path):
         )
 
 
+# ---------------------------------------------------------------------------
+# randomized-geometry stitch fuzz against the reference's OWN Stitch
+# (the property test in tests/test_stitch.py targets _StringStitch, a
+# hand-rewritten replica; these run the same adversarial geometries through
+# the actual Stitch.py code so a shared transcription error cannot hide)
+# ---------------------------------------------------------------------------
+
+
+def _write_region_store(path, contig, regions, rng=None):
+    """Write hand-crafted (start, end, seq) regions in the prediction-store
+    schema; each region optionally split into 1-3 contiguous chunks (the
+    store layout real inference produces when region_cols > seq_length)."""
+    from helen_tpu.io.prediction_store import PredictionStore
+    from helen_tpu.io.synthetic import rle_encode
+
+    with PredictionStore(path, "w") as store:
+        for start, end, seq in regions:
+            if seq:
+                bases, runs = rle_encode(seq, max_run=10)
+            else:
+                # a region that decodes to "" (empty MarginPolish region):
+                # gap labels with run 0 — label_decoder[0] * 0 == "". Needs
+                # >= 2 positions: the reference's dict_fetch (Stitch.py:242)
+                # is operator.itemgetter(*pos_list), which returns a scalar
+                # (not a tuple) for a single position and crashes list().
+                bases = np.zeros(4, dtype=np.int64)
+                runs = np.zeros(4, dtype=np.int64)
+            n = len(bases)
+            position = np.zeros((n, 3), dtype=np.int64)
+            position[:, 0] = np.arange(n)
+            if rng is not None and n > 3:
+                cuts = sorted({0, n} | {int(rng.integers(1, n))
+                                        for _ in range(int(rng.integers(0, 3)))})
+            else:
+                cuts = [0, n]
+            for cid, (a, b) in enumerate(zip(cuts[:-1], cuts[1:])):
+                store.write_prediction(contig, start, end, cid,
+                                       position[a:b], bases[a:b], runs[a:b])
+
+
+def _fuzz_regions(rng):
+    """Random region geometries biased to force every alignment_stitch
+    branch of Stitch.py:137-188: anchored joins, mutated overlaps, zero-score
+    overlaps (garbage), unanchorable short overlaps, and coordinate gaps."""
+
+    def body(n):
+        return "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+
+    seq = body(int(rng.integers(200, 700)))
+    regions = [[0, len(seq), seq]]
+    for _ in range(int(rng.integers(4, 10))):
+        prev_start, prev_end, prev_seq = regions[-1]
+        t = ["clean", "clean", "clean", "noanchor", "garbage", "gap"][
+            int(rng.integers(0, 6))]
+        b = body(int(rng.integers(120, 600)))
+        if t == "clean":
+            ov = min(int(rng.integers(20, 120)), len(prev_seq) - 1)
+            prefix = list(prev_seq[-ov:])
+            for _ in range(int(rng.integers(0, 3))):
+                prefix[int(rng.integers(0, ov))] = \
+                    "ACGT"[int(rng.integers(0, 4))]
+            seq, start = "".join(prefix) + b, prev_end - ov
+        elif t == "noanchor":
+            # 5-base exact overlap: positive score, grouped M run 5 < 8
+            seq, start = prev_seq[-5:] + b, prev_end - 5
+        elif t == "garbage":
+            # retrofit the previous tail to poly-A and lead with poly-C:
+            # an all-mismatch overlap has local-alignment score 0
+            ov = int(rng.integers(12, 40))
+            regions[-1][2] = prev_seq[:-ov] + "A" * ov
+            seq, start = "C" * ov + b, prev_end - ov
+        else:  # gap: this_start >= running_end
+            seq, start = b, prev_end + int(rng.integers(1, 80))
+        regions.append([start, start + len(seq), seq])
+    return [tuple(r) for r in regions]
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_stitch_fuzz_random_geometry_vs_reference(ref, tmp_path, seed):
+    """>=20 random region/overlap/chunk/noise geometries, byte-compared
+    against the reference's own Stitch (VERDICT r2 item 3)."""
+    from helen_tpu.stitch.engine import Stitcher
+
+    rng = np.random.default_rng(7000 + seed)
+    regions = _fuzz_regions(rng)
+    pred = str(tmp_path / "fuzz_0.hdf")
+    _write_region_store(pred, "ctgF", regions, rng=rng)
+    # same thread count on both sides: the reference's key-grouping changes
+    # which junctions meet inside a group vs at the group join, and for
+    # fallback-heavy layouts the output legitimately depends on it (verified:
+    # the reference itself returns different bytes at threads=2 vs 1/3 for
+    # some geometries; our engine tracks it exactly at every count).
+    threads = int(rng.integers(1, 4))
+    want = reference_stitch_contig(ref, [pred], "ctgF", threads=threads)
+    got = Stitcher(threads=threads).stitch([pred], "ctgF")
+    assert got == want, (seed, threads, len(got), len(want))
+
+
+def test_stitch_fallback_branches_match_reference(ref, tmp_path, capfd):
+    """One geometry that provably walks EVERY fallback branch of the
+    reference alignment_stitch (Stitch.py:137-188): zero-score overlap
+    (join and drop sub-branches, including an empty region), unanchorable
+    overlap (join and drop), and coordinate gap (join and drop). Branch
+    execution is proven by the reference's own stderr warnings; the final
+    sequence must still byte-match our engine."""
+    from helen_tpu.io.synthetic import random_sequence
+    from helen_tpu.stitch.engine import Stitcher
+
+    b0 = random_sequence(300, seed=81)
+    b2 = random_sequence(280, seed=82)
+    b3 = random_sequence(250, seed=83)
+    b6 = random_sequence(200, seed=84)
+    r0 = (0, 315, b0[:300] + "A" * 15)                  # tail A^15
+    e0 = r0[1]
+    # zero-score overlap, len(right_overlap)=15 > 10 -> N-join of the
+    # overlap head only (the reference discards the region body here)
+    r1 = (e0 - 15, e0 - 15 + 215, "C" * 15 + b2[:200])
+    e1 = r1[1]
+    # zero-score overlap, ov=8 <= 10 -> whole region dropped, running_end
+    # stays e1 (running tail is the C^15 junction-1 appended)
+    r2 = (e1 - 8, e1 - 8 + 288, "A" * 8 + b2)
+    # unanchorable 5-base exact overlap ('CCCCC' vs the C^15 tail),
+    # len > 10 -> N-join of the whole region
+    r3 = (e1 - 5, e1 - 5 + 255, "CCCCC" + b3)
+    e3 = r3[1]
+    # empty region decoding to "": zero-score, len 0 -> dropped
+    r4 = (e3 - 20, e3 - 20, "")
+    # unanchorable 5-base exact overlap with a tiny region (len 8 <= 10)
+    # -> dropped
+    r5 = (e3 - 5, e3 - 5 + 8, b3[-5:] + "GCA")
+    # coordinate gap, len > 10 -> N-join
+    r6 = (e3 + 25, e3 + 25 + 200, b6)
+    e6 = r6[1]
+    # coordinate gap with a tiny region -> dropped
+    r7 = (e6 + 10, e6 + 10 + 8, "ACGTACGT")
+
+    regions = [r0, r1, r2, r3, r4, r5, r6, r7]
+    pred = str(tmp_path / "branches_0.hdf")
+    _write_region_store(pred, "ctgB", regions)
+
+    capfd.readouterr()  # drain
+    want = reference_stitch_contig(ref, [pred], "ctgB", threads=1)
+    err = capfd.readouterr().err
+    assert err.count("NO ALIGNMENT FOUND") >= 3, err      # r1, r2, r4
+    assert err.count("NO OVERLAPS IN ALIGNMENT") >= 2, err  # r3, r5
+    assert err.count("NO OVERLAP IN CHUNKS") >= 2, err      # r6, r7
+    got = Stitcher(threads=1).stitch([pred], "ctgB")
+    assert got == want
+    # the joins that survive: r0, N, C^15, (r3 anchor-fail join), N, r6
+    assert want.count("N" * 10) >= 3
+    assert b2 not in want  # r2 dropped; junction-1 kept only the C^15 head
+
+
 def test_end_to_end_fasta_byte_identity_vs_reference_code(
     ref, ref_model_pkl, tmp_path
 ):
