@@ -436,13 +436,13 @@ def test_stitch_fallback_branches_match_reference(ref, tmp_path, capfd):
     assert b2 not in want  # r2 dropped; junction-1 kept only the C^15 head
 
 
-def test_end_to_end_fasta_byte_identity_vs_reference_code(
-    ref, ref_model_pkl, tmp_path
-):
-    """Full-pipeline oracle: our call_consensus + perform_stitch FASTA ==
+def fasta_byte_identity_check(ref, model_pkl, tmp_path):
+    """Shared oracle body: our call_consensus + perform_stitch FASTA ==
     a FASTA produced entirely by reference code (their model/loop writing
     through their DataStore, their Stitch merge + SSW joins, their
-    StitchInterface write format, StitchInterface.py:104-106)."""
+    StitchInterface write format, StitchInterface.py:104-106). Used both
+    with a reference-saved fresh pkl (below) and with a REAL released
+    checkpoint (tests/test_released_model.py)."""
     import torch
 
     from helen_tpu.infer.consensus import call_consensus
@@ -459,7 +459,7 @@ def test_end_to_end_fasta_byte_identity_vs_reference_code(
 
     # ---- reference side: replayed loop -> their DataStore -> their Stitch
     model, _, _, _ = ref.ModelHandler.load_simple_model(
-        ref_model_pkl,
+        model_pkl,
         input_channels=ref.ImageSizeOptions.IMAGE_CHANNELS,
         image_features=ref.ImageSizeOptions.IMAGE_HEIGHT,
         seq_len=ref.ImageSizeOptions.SEQ_LENGTH,
@@ -494,7 +494,7 @@ def test_end_to_end_fasta_byte_identity_vs_reference_code(
     # ---- our side: the production pipeline over the same images + model
     out_dir = str(tmp_path / "ours")
     call_consensus(
-        image_files=[image_file], model_path=ref_model_pkl,
+        image_files=[image_file], model_path=model_pkl,
         output_dir=out_dir, batch_size=4, num_workers=2,
     )
     our_fasta = perform_stitch(out_dir, out_dir, "ours", threads=1)
@@ -506,3 +506,10 @@ def test_end_to_end_fasta_byte_identity_vs_reference_code(
     assert got == want, (
         f"FASTA bytes differ: ours {len(got)}B vs reference {len(want)}B"
     )
+    assert len(want) > 0
+
+
+def test_end_to_end_fasta_byte_identity_vs_reference_code(
+    ref, ref_model_pkl, tmp_path
+):
+    fasta_byte_identity_check(ref, ref_model_pkl, tmp_path)
