@@ -102,6 +102,46 @@ def main() -> int:
         time.sleep(120)  # parent kills us once process 0 has reported
         return 0
 
+    if mode in ("train_golden", "train_kill", "train_resume"):
+        # 2-host global-mesh DP training job (the production shard_map psum
+        # path). train_golden runs one uninterrupted epoch into
+        # models_golden; train_kill runs the same job into models/ and is
+        # SIGKILLed by the parent mid-epoch; train_resume restarts BOTH
+        # hosts from models/HELEN_latest_checkpoint.npz and finishes the
+        # epoch — mid-epoch resume replays the exact data order, so the
+        # epoch-1 params must be byte-equal to the golden run's.
+        import dataclasses
+
+        from helen_tpu.config import TRAIN
+        from helen_tpu.train.train_loop import Trainer
+        from helen_tpu.utils.filesystem import list_image_files
+
+        cfg = dataclasses.replace(TRAIN, batch_size=4, learning_rate=1e-3,
+                                  seed=0)
+        sub = "models_golden" if mode == "train_golden" else "models"
+        model_dir = os.path.join(workdir, sub)
+        latest = os.path.join(model_dir, "HELEN_latest_checkpoint.npz")
+        trainer = Trainer(
+            train_files=list_image_files(os.path.join(workdir, "train")),
+            test_files=list_image_files(os.path.join(workdir, "test")),
+            cfg=cfg,
+            model_dir=model_dir,
+            stats_dir=os.path.join(workdir, f"stats_{mode}"),
+            num_workers=1,
+            retrain_model_path=latest if mode == "train_resume" else None,
+            checkpoint_every_batches=2,
+            backend="xla",
+        )
+        if mode == "train_resume":
+            # the kill must have landed mid-epoch; a completed phase-1 job
+            # would resume at epoch 1 and train different data
+            assert trainer.start_epoch == 0, trainer.start_epoch
+            assert trainer.start_batch >= 2, trainer.start_batch
+        trainer.run(1)
+        multihost.barrier(f"{mode}-done")
+        print(f"TRAIN_DONE {pid}", flush=True)
+        return 0
+
     if mode in ("consensus", "resume"):
         from helen_tpu.infer.consensus import call_consensus
 

@@ -102,6 +102,108 @@ def _stage_consensus_job(tmp_path):
     )
 
 
+def _stage_train_job(tmp_path):
+    from helen_tpu.io.synthetic import random_sequence, write_image_file
+
+    train = tmp_path / "train"
+    test = tmp_path / "test"
+    train.mkdir()
+    test.mkdir()
+    # 16 labeled images -> 4 global batches at global batch_size 4
+    write_image_file(str(train / "t.h5"),
+                     {"cT": random_sequence(16000, seed=7)},
+                     region_cols=1000, overlap_cols=0, noise=0.05)
+    write_image_file(str(test / "e.h5"),
+                     {"cE": random_sequence(4000, seed=8)},
+                     region_cols=1000, overlap_cols=0, noise=0.05)
+
+
+@pytest.mark.timeout(580)
+def test_train_kill_host_then_resume_matches_uninterrupted(tmp_path):
+    """SIGKILL a host mid-epoch in a 2-process psum training job, restart
+    both hosts from HELEN_latest_checkpoint.npz, and require (a) no hang on
+    the restart's barrier/psum lockstep and (b) epoch-1 params byte-equal an
+    uninterrupted 2-process run's (mid-epoch resume replays the exact data
+    order; optimizer + scheduler state ride the checkpoint)."""
+    from helen_tpu.io.checkpoint import load_checkpoint
+
+    _stage_train_job(tmp_path)
+    workdir = str(tmp_path)
+
+    # golden: uninterrupted 2-host epoch into models_golden/
+    port = _free_port()
+    procs = [_spawn("train_golden", pid, 2, port, workdir) for pid in range(2)]
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("golden training run timed out")
+        assert p.returncode == 0, f"golden run failed:\n{out}\n{err}"
+
+    # phase 1: same job into models/; kill host 1 once a mid-epoch latest
+    # checkpoint (batch_in_epoch >= 2 of 4) exists, then host 0 — a psum
+    # peer cannot outlive the job (jax's coordination heartbeat would tear
+    # it down in ~100s anyway); the restart is what's under test.
+    port = _free_port()
+    procs = [_spawn("train_kill", pid, 2, port, workdir) for pid in range(2)]
+    latest = os.path.join(workdir, "models", "HELEN_latest_checkpoint.npz")
+    deadline = time.monotonic() + 300
+    seen = None
+    while time.monotonic() < deadline:
+        if procs[0].poll() is not None or procs[1].poll() is not None:
+            break
+        if os.path.exists(latest):
+            try:
+                _, meta, _ = load_checkpoint(latest)
+            except Exception:
+                meta = None  # save is atomic, but be tolerant anyway
+            if (meta and meta.get("epochs") == 0
+                    and meta.get("batch_in_epoch", 0) >= 2):
+                seen = meta
+                break
+        time.sleep(0.25)
+    if seen is None:
+        for q in procs:
+            q.kill()
+            q.communicate(timeout=30)
+        pytest.fail("no mid-epoch checkpoint appeared before the deadline")
+    procs[1].send_signal(signal.SIGKILL)
+    time.sleep(1.0)
+    procs[0].send_signal(signal.SIGKILL)
+    for p in procs:
+        p.communicate(timeout=60)
+
+    # phase 2: restart BOTH hosts from the latest checkpoint; must finish
+    # without hanging and without retraining the already-trained batches
+    port = _free_port()
+    procs = [_spawn("train_resume", pid, 2, port, workdir) for pid in range(2)]
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("resumed training hung")
+        assert p.returncode == 0, f"resume failed:\nstdout:{out}\nstderr:{err}"
+        assert "mid-epoch resume: skipping" in err, err
+
+    want, _, _ = load_checkpoint(
+        os.path.join(workdir, "models_golden", "HELEN_epoch_1_checkpoint.npz"))
+    got, _, _ = load_checkpoint(
+        os.path.join(workdir, "models", "HELEN_epoch_1_checkpoint.npz"))
+    import jax
+
+    import numpy as np
+
+    wleaves, wdef = jax.tree_util.tree_flatten(want)
+    gleaves, gdef = jax.tree_util.tree_flatten(got)
+    assert wdef == gdef
+    for w, g in zip(wleaves, gleaves):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
 @pytest.mark.timeout(580)
 def test_kill_host_then_resume_recovers(tmp_path):
     """SIGKILL host 1 mid-consensus; a --resume re-run must skip everything
