@@ -150,6 +150,7 @@ def call_consensus(
     num_writers: int = 1,
     qualities: bool = False,
     cache_dir: Optional[str] = None,
+    stage_timer: Optional[StageTimer] = None,
 ) -> List[str]:
     """Run consensus calling over a directory of MarginPolish images.
 
@@ -277,7 +278,9 @@ def call_consensus(
                 if p != out_path:
                     store_cm.preload_chunk_keys(_chunk_keys(p))
         out_paths = [out_path]
-    timer = StageTimer()
+    # caller-provided timer (bench.py) lets the e2e benchmark report the
+    # store-write / flush / tpu stage split without parsing logs
+    timer = stage_timer if stage_timer is not None else StageTimer()
     windows = Throughput(unit="windows")
     n_windows = WINDOW.num_windows(IMAGE.seq_length)
     written = skipped = 0
