@@ -52,10 +52,12 @@ def _measure_infer(jax, jnp, params, batches, backend: str,
 
     # sum-reduce the labels so each step's completion is observable with a
     # scalar readback (full label readback would re-measure relay bandwidth)
+    # uint8 batches go in UN-cast: the pallas backends stream them into the
+    # window kernel as exact bf16 (2-pass projection == Precision.HIGH
+    # bit-for-bit); the xla backend casts to f32 inside consensus_labels
     fn = jax.jit(
         lambda p, im: [
-            o.sum()
-            for o in consensus_labels(p, im.astype(jnp.float32), backend=backend)
+            o.sum() for o in consensus_labels(p, im, backend=backend)
         ]
     )
     float(fn(params, batches[0])[0])  # compile + warmup

@@ -52,12 +52,11 @@ def dump_mismatches(
     Returns the number of mismatches written.
     """
     import jax
-    import jax.numpy as jnp
 
     from helen_tpu.models.transducer import consensus_labels
 
     dataset = MarginPolishDataset(files, IMAGE, with_labels=True)
-    jfn = jax.jit(lambda p, im: consensus_labels(p, im.astype(jnp.float32)))
+    jfn = jax.jit(lambda p, im: consensus_labels(p, im))
     written = 0
     with open(output_path, "w") as out:
         for batch in batched_image_iterator(dataset, batch_size, num_workers):

@@ -42,7 +42,6 @@ class ConsensusStep:
     def __init__(self, params, data_parallel: bool = True, precision=None,
                  backend: Optional[str] = None, qualities: bool = False):
         import jax
-        import jax.numpy as jnp
 
         from helen_tpu.models.transducer import (
             consensus_labels,
@@ -62,10 +61,14 @@ class ConsensusStep:
         n_out = 3 if qualities else 2
 
         def fn(p, images_u8):
-            images = images_u8.astype(jnp.float32)
+            # uint8 images go to consensus_* UN-cast: the pallas backends
+            # stream them into the window kernel as exact bf16 (2-pass
+            # layer-0 projection == Precision.HIGH bit-for-bit) instead of
+            # materializing the full f32 image — models.transducer
+            # consensus_probs docstring. Non-pallas backends cast inside.
             f = consensus_labels_and_quality if qualities else consensus_labels
             # model geometry is recovered from the params (models.transducer)
-            return f(p, images, WINDOW,
+            return f(p, images_u8, WINDOW,
                      precision=precision, backend=backend)
 
         self._batch_sharding = None

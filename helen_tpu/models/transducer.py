@@ -106,12 +106,60 @@ def init_hidden_for(params: Params, batch_size: int, dtype=jnp.float32) -> jnp.n
     return init_hidden(batch_size, model_geometry(params), dtype)
 
 
+def _forward_inproj(
+    params: Params,
+    x: jnp.ndarray,
+    hidden: jnp.ndarray,
+    precision,
+    backend: str,
+    exact_input: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One window via the in-kernel-projection Pallas kernels.
+
+    Same arithmetic contract as :func:`forward`'s pallas backends, but the
+    input projections run INSIDE the window kernels and the bi-GRU halves
+    chain between layers without concatenation — no (T, B, 3H) xp or
+    (T, B, 2H) concat arrays ever hit HBM. That traffic is what bounds the
+    parity program (tools/parity_ablation2.py: the decoder stage + encoder
+    projections are ~90% of step time at B=1024, almost all of it the xp
+    stream round-trips). ``exact_input`` asserts x's values are exactly
+    bf16-representable (uint8 pileup counts), enabling the 2-pass layer-0
+    projection that is bit-identical to Precision.HIGH (ops.gru_pallas
+    ._proj_passes); the kernel-side products otherwise carry the same
+    documented ~1-ulp bf16x3 vote noise as the classic pallas backend
+    (measured: 1-2 near-tie label flips per 2x64k vs the fp32 reference,
+    tools/parity_flips.py — same as the xp-stream kernel)."""
+    from helen_tpu.ops.gru_pallas import bigru_apply_inproj
+
+    fast = backend == "pallas_fast"
+    cur = jnp.swapaxes(x, 0, 1)  # (W, B, F); dtype may be uint8
+    enc_finals = []
+    for li, lp in enumerate(_stack_layers(params["encoder"])):
+        of, ob, hf, hb = bigru_apply_inproj(
+            lp, cur, hidden[:, 2 * li], hidden[:, 2 * li + 1],
+            fast=fast, exact_input=exact_input and li == 0)
+        cur = (of, ob)
+        enc_finals.append((hf, hb))
+    dec_finals = []
+    for li, lp in enumerate(_stack_layers(params["decoder"])):
+        of, ob, hf, hb = bigru_apply_inproj(
+            lp, cur, enc_finals[li][0], enc_finals[li][1], fast=fast)
+        cur = (of, ob)
+        dec_finals.append((hf, hb))
+    dec_out = jnp.swapaxes(jnp.concatenate([cur[0], cur[1]], axis=-1), 0, 1)
+    base = jnp.dot(dec_out, params["base_head"]["w"], precision=precision) + params["base_head"]["b"]
+    rle = jnp.dot(dec_out, params["rle_head"]["w"], precision=precision) + params["rle_head"]["b"]
+    new_hidden = jnp.stack([h for pair in dec_finals for h in pair], axis=1)
+    return base, rle, new_hidden
+
+
 def forward(
     params: Params,
     x: jnp.ndarray,
     hidden: jnp.ndarray,
     precision=None,
     backend: str = "xla",
+    exact_input: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One window of the transducer.
 
@@ -127,11 +175,24 @@ def forward(
         lax.scan training path)
     :returns: (base logits (B, W, 5), rle logits (B, W, 11), new hidden (B, 2, H))
     """
+    if jnp.issubdtype(x.dtype, jnp.integer) and backend not in (
+            "pallas", "pallas_fast"):
+        x = x.astype(jnp.float32)
     if backend in ("pallas", "pallas_fast"):
         import functools
 
-        from helen_tpu.ops.gru_pallas import bigru_apply_fused
+        from helen_tpu.ops.gru_pallas import bigru_apply_fused, inproj_fits_vmem
 
+        # prefer the in-kernel-projection kernels (3x less stream traffic);
+        # their VMEM residency is larger (the (2H, 3H) input-weight blocks
+        # ride in VMEM), so geometries past that budget use the classic
+        # xp-stream kernel before falling back to xla (resolve_backend)
+        if inproj_fits_vmem(model_geometry(params).hidden_size):
+            return _forward_inproj(params, x, hidden, precision, backend,
+                                   exact_input)
+
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            x = x.astype(jnp.float32)
         _bigru = functools.partial(bigru_apply_fused, fast=backend == "pallas_fast")
     elif backend == "pallas_train":
         from helen_tpu.ops.gru_pallas_train import bigru_apply_fused_train
@@ -194,6 +255,18 @@ def consensus_probs(
     """
     if precision is None and backend in ("pallas", "xla"):
         precision = lax.Precision.HIGH
+    # Integer images (the production path: MarginPolish pileups are uint8,
+    # reference dataloader_predict.py image dtype) are accepted directly.
+    # On the pallas backends they stay integer all the way into the window
+    # kernel, which streams them as (exact) bf16 with the 2-pass projection
+    # == Precision.HIGH bit-for-bit (ops.gru_pallas._proj_passes) — passing
+    # uint8 instead of .astype(float32) saves the full-image f32
+    # materialization and 4x of window-slice stream traffic. Float images
+    # remain fully supported (and are what non-pallas backends compute on).
+    exact_input = bool(jnp.issubdtype(images.dtype, jnp.integer))
+    if exact_input and backend not in ("pallas", "pallas_fast"):
+        images = images.astype(jnp.float32)
+        exact_input = False
     B, L, F = images.shape
     W = window_cfg.window
     starts = jnp.asarray(window_cfg.starts(L), dtype=jnp.int32)
@@ -238,7 +311,7 @@ def consensus_probs(
         hidden, base_acc, rle_acc = carry
         x = lax.dynamic_slice(images, (0, start, 0), (B, W, F))
         base, rle, hidden = forward(params, x, hidden, precision=precision,
-                                    backend=backend)
+                                    backend=backend, exact_input=exact_input)
         bp = jax.nn.softmax(base, axis=-1)
         rp = jax.nn.softmax(rle, axis=-1)
         base_cur = lax.dynamic_slice(base_acc, (0, start, 0), (B, W, nb))

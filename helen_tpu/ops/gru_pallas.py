@@ -58,6 +58,24 @@ measure at most 1.04x and perturb last-ulp rounding — rejected to keep the
 parity tier's audited numerics. (d) still fails verification on bf16
 vectors. Conclusion: the per-step recurrence is at its per-chip floor;
 remaining end-to-end headroom lives outside this kernel.
+
+That headroom was harvested 2026-08-20 by the IN-KERNEL-PROJECTION kernels
+below (_kernel_inproj1/_kernel_inproj2): the serial-increment ablation
+(tools/parity_ablation2.py) showed the parity program was
+HBM-bandwidth-bound on the (T, B, 3H) f32 xp streams this classic kernel
+consumes (~630 MB written+reread per window per stack at B=1024 — ~90% of
+step time sat in the projection/decoder stages). Streaming the raw
+128-wide inputs instead (uint8 images as exact bf16; decoder reads the
+encoder's out halves directly, no concat) and projecting on the
+mostly-idle MXU in-kernel measured parity 339K -> 455K windows/s and fast
+650K -> 794K on v5e at B=1024, at unchanged parity grade (2+0 flips per
+2x64k vs the fp32 CPU reference, max vote delta 8.6e-6 —
+tools/parity_flips.py). This supersedes rejected layout (c): the earlier
+whole-image hoisting failed because it ENLARGED the HBM-resident
+projection, where this shrinks the stream below the classic kernel's.
+transducer.forward routes pallas backends here when the geometry fits
+inproj_fits_vmem; the classic xp-stream kernel remains the fallback rung
+(larger H still under infer_fits_vmem) before lax.scan.
 """
 from __future__ import annotations
 
@@ -78,9 +96,22 @@ H = 128
 
 
 def _split_bf16x2(w):
-    """Split fp32 into (hi, lo) bf16 parts with hi + lo covering ~fp32 mantissa."""
-    hi = w.astype(jnp.bfloat16)
-    lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    """Split fp32 into (hi, lo) bf16 parts with hi + lo covering ~fp32 mantissa.
+
+    DO NOT write this as ``hi = bf16(w); lo = bf16(w - f32(hi))``: XLA's
+    excess-precision simplification elides the bf16->f32 convert pair and
+    rewrites the residual to ``w - w = 0`` — measured on the live v5e
+    stack (2026-08-20): the in-jit residual comes back ALL ZEROS, silently
+    degrading every hi/lo product to a single bf16 pass (~0.3% label flips,
+    DEFAULT-precision grade). Veltkamp splitting (multiply by 2**16+1, two
+    subtractions) computes the identical round-to-nearest-even 8-bit hi
+    with pure float mul/sub that no sanctioned rewrite can touch, inside
+    XLA and inside Mosaic kernels alike. tests/test_pallas.py pins the
+    residual to be nonzero."""
+    c = w * jnp.float32(65537.0)  # 2**16 + 1
+    hi_f32 = c - (c - w)          # w rounded to 8 significand bits, in f32
+    hi = hi_f32.astype(jnp.bfloat16)           # exact: value fits bf16
+    lo = (w - hi_f32).astype(jnp.bfloat16)     # exact f32 subtraction
     return hi, lo
 
 
@@ -112,6 +143,31 @@ def _gru_gates(h, xp, w_hi, w_lo, b_hh):
     z = jax.nn.sigmoid(xp[:, H : 2 * H] + hp[:, H : 2 * H])
     n = jnp.tanh(xp[:, 2 * H :] + r * hp[:, 2 * H :])
     return (1.0 - z) * n + z * h
+
+
+def _proj_passes(x, w_hi, w_lo):
+    """In-kernel input projection x @ W_ih, three precision regimes by dtype.
+
+    * ``w_lo is None`` (fast mode): one bf16 MXU pass, f32 accumulation.
+    * ``x`` bf16 + split weights: TWO passes (x@w_hi + x@w_lo). When x's
+      values are exactly bf16-representable (MarginPolish images are uint8
+      counts, all integers 0..255 are exact in bf16), this is BIT-IDENTICAL
+      to XLA's Precision.HIGH: HIGH's third cross term x_lo@w_hi is exactly
+      zero, f32 addition of an exact zero is the identity, and f32 addition
+      is commutative, so dropping the zero term changes nothing.
+    * ``x`` f32: full bf16x3 (x split hi/lo in-kernel) — the same
+      ~fp32-accurate product the recurrence uses for w_hh.
+    """
+    f32 = jnp.float32
+    if w_lo is None:
+        return jnp.dot(x.astype(jnp.bfloat16), w_hi, preferred_element_type=f32)
+    if x.dtype == jnp.bfloat16:
+        return (jnp.dot(x, w_hi, preferred_element_type=f32)
+                + jnp.dot(x, w_lo, preferred_element_type=f32))
+    x_hi, x_lo = _split_bf16x2(x)
+    return (jnp.dot(x_hi, w_hi, preferred_element_type=f32)
+            + jnp.dot(x_lo, w_hi, preferred_element_type=f32)
+            + jnp.dot(x_hi, w_lo, preferred_element_type=f32))
 
 
 def _kernel(
@@ -304,6 +360,310 @@ def fused_bigru_window(
         interpret=interpret,
     )(xp_f, xp_b, h0_f, h0_b, wf_hi, wb_hi, wf_lo, wb_lo, bh_f, bh_b)
     return out_f, out_b, hf, hb
+
+
+def _kernel_inproj1(
+    x_f_ref, x_b_ref, h0_f_ref, h0_b_ref,
+    wi_f_hi_ref, wi_b_hi_ref, wi_f_lo_ref, wi_b_lo_ref,
+    wh_f_hi_ref, wh_b_hi_ref, wh_f_lo_ref, wh_b_lo_ref,
+    bi_f_ref, bi_b_ref, bh_f_ref, bh_b_ref,
+    out_f_ref, out_b_ref, hf_ref, hb_ref,
+    h_f, h_b,
+    *, T: int, fast: bool,
+):
+    """Fused window kernel with the input projection computed IN-KERNEL.
+
+    Identical recurrence to :func:`_kernel`, but the streamed input is the
+    raw (Bt, D) window slice instead of the pre-projected (Bt, 3H) ``xp`` —
+    the projection runs on the MXU here, per step. The parity program is
+    HBM-bandwidth-bound on the xp streams (one (T,B,3H) f32 array written
+    by XLA then re-read by the kernel, per direction per stack per window:
+    ~630 MB/window at B=1024 — tools/parity_ablation2.py), so streaming the
+    D<=2H-wide input instead cuts the kernel's stream traffic ~3x while the
+    added dot rides the mostly-idle MXU (the recurrence is
+    VPU-transcendental-bound, module docstring)."""
+    import jax.experimental.pallas as pl
+
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        h_f[:] = h0_f_ref[:]
+        h_b[:] = h0_b_ref[:]
+
+    wi_f_lo = None if fast else wi_f_lo_ref[:]
+    wi_b_lo = None if fast else wi_b_lo_ref[:]
+    wh_f_lo = None if fast else wh_f_lo_ref[:]
+    wh_b_lo = None if fast else wh_b_lo_ref[:]
+    xp_f = _proj_passes(x_f_ref[0], wi_f_hi_ref[:], wi_f_lo) + bi_f_ref[:]
+    xp_b = _proj_passes(x_b_ref[0], wi_b_hi_ref[:], wi_b_lo) + bi_b_ref[:]
+    hf_new = _gru_gates(h_f[:], xp_f, wh_f_hi_ref[:], wh_f_lo, bh_f_ref[:])
+    hb_new = _gru_gates(h_b[:], xp_b, wh_b_hi_ref[:], wh_b_lo, bh_b_ref[:])
+    h_f[:] = hf_new
+    h_b[:] = hb_new
+    out_f_ref[0] = hf_new
+    out_b_ref[0] = hb_new
+
+    @pl.when(t == T - 1)
+    def _final():
+        hf_ref[:] = hf_new
+        hb_ref[:] = hb_new
+
+
+def _kernel_inproj2(
+    xa_f_ref, xb_f_ref, xa_b_ref, xb_b_ref, h0_f_ref, h0_b_ref,
+    wi_f_hi_ref, wi_b_hi_ref, wi_f_lo_ref, wi_b_lo_ref,
+    wh_f_hi_ref, wh_b_hi_ref, wh_f_lo_ref, wh_b_lo_ref,
+    bi_f_ref, bi_b_ref, bh_f_ref, bh_b_ref,
+    out_f_ref, out_b_ref, hf_ref, hb_ref,
+    h_f, h_b,
+    *, T: int, H: int, fast: bool,
+):
+    """In-kernel-projection kernel over a PAIR of input streams.
+
+    Deeper/decoder layers consume the previous bi-GRU's (out_f, out_b)
+    halves. Streaming the halves separately (each read forward AND
+    reversed) skips the (T, B, 2H) concat materialization entirely; the
+    (2H, 3H) input weight is statically sliced into its top/bottom halves
+    in-kernel, and the two half-projections are summed in f32. (Splitting
+    the K=2H contraction changes f32 summation order vs one fused dot —
+    ~1-ulp vote noise, same class as the bf16x3 recurrence product;
+    validated by tools/parity_flips.py on the live chip.)"""
+    import jax.experimental.pallas as pl
+
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        h_f[:] = h0_f_ref[:]
+        h_b[:] = h0_b_ref[:]
+
+    wi_f_lo_t = wi_f_lo_b = wi_b_lo_t = wi_b_lo_b = None
+    if not fast:
+        wi_f_lo_t, wi_f_lo_b = wi_f_lo_ref[:H], wi_f_lo_ref[H:]
+        wi_b_lo_t, wi_b_lo_b = wi_b_lo_ref[:H], wi_b_lo_ref[H:]
+    wh_f_lo = None if fast else wh_f_lo_ref[:]
+    wh_b_lo = None if fast else wh_b_lo_ref[:]
+    xp_f = (
+        _proj_passes(xa_f_ref[0], wi_f_hi_ref[:H], wi_f_lo_t)
+        + _proj_passes(xb_f_ref[0], wi_f_hi_ref[H:], wi_f_lo_b)
+    ) + bi_f_ref[:]
+    xp_b = (
+        _proj_passes(xa_b_ref[0], wi_b_hi_ref[:H], wi_b_lo_t)
+        + _proj_passes(xb_b_ref[0], wi_b_hi_ref[H:], wi_b_lo_b)
+    ) + bi_b_ref[:]
+    hf_new = _gru_gates(h_f[:], xp_f, wh_f_hi_ref[:], wh_f_lo, bh_f_ref[:])
+    hb_new = _gru_gates(h_b[:], xp_b, wh_b_hi_ref[:], wh_b_lo, bh_b_ref[:])
+    h_f[:] = hf_new
+    h_b[:] = hb_new
+    out_f_ref[0] = hf_new
+    out_b_ref[0] = hb_new
+
+    @pl.when(t == T - 1)
+    def _final():
+        hf_ref[:] = hf_new
+        hb_ref[:] = hb_new
+
+
+def _split_or_fast(w, fast):
+    """(hi, lo) operand pair for a weight: bf16 single operand in fast mode
+    (lo is a never-read placeholder), hi/lo bf16 halves for parity."""
+    if fast:
+        hi = w.astype(jnp.bfloat16)
+        return hi, jnp.zeros_like(hi)
+    return _split_bf16x2(w)
+
+
+def _inproj_call(kernel, streams, stream_specs, h0_f, h0_b, wi_f, wi_b,
+                 w_f, w_b, bi_f, bi_b, bh_f, bh_b, Bt, T, B, Hm, fast,
+                 interpret, **kernel_kwargs):
+    """Shared pallas_call plumbing for the two in-projection kernels."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    wi_f_hi, wi_f_lo = _split_or_fast(wi_f, fast)
+    wi_b_hi, wi_b_lo = _split_or_fast(wi_b, fast)
+    wh_f_hi, wh_f_lo = _split_or_fast(w_f, fast)
+    wh_b_hi, wh_b_lo = _split_or_fast(w_b, fast)
+
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda b, t: (0,) * len(shape), memory_space=pltpu.VMEM)
+    h0_spec = pl.BlockSpec((Bt, Hm), lambda b, t: (b, 0),
+                           memory_space=pltpu.VMEM)
+    out = lambda rev: pl.BlockSpec(
+        (1, Bt, Hm),
+        (lambda b, t: (T - 1 - t, b, 0)) if rev else (lambda b, t: (t, b, 0)),
+        memory_space=pltpu.VMEM,
+    )
+
+    return pl.pallas_call(
+        functools.partial(kernel, T=T, fast=fast, **kernel_kwargs),
+        grid=(B // Bt, T),
+        in_specs=stream_specs + [
+            h0_spec, h0_spec,
+            const(wi_f_hi.shape), const(wi_b_hi.shape),
+            const(wi_f_lo.shape), const(wi_b_lo.shape),
+            const(wh_f_hi.shape), const(wh_b_hi.shape),
+            const(wh_f_lo.shape), const(wh_b_lo.shape),
+            const((1, 3 * Hm)), const((1, 3 * Hm)),
+            const((1, 3 * Hm)), const((1, 3 * Hm)),
+        ],
+        out_specs=[out(False), out(True), h0_spec, h0_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, Hm), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, Hm), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hm), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hm), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Bt, Hm), jnp.float32),
+            pltpu.VMEM((Bt, Hm), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*streams, h0_f, h0_b,
+      wi_f_hi, wi_b_hi, wi_f_lo, wi_b_lo,
+      wh_f_hi, wh_b_hi, wh_f_lo, wh_b_lo,
+      bi_f, bi_b, bh_f, bh_b)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def fused_bigru_window_inproj(
+    x: jnp.ndarray,    # (T, B, D) raw input, D % 128 == 0; f32 or bf16
+    h0_f: jnp.ndarray, h0_b: jnp.ndarray,      # (B, H)
+    wi_f: jnp.ndarray, wi_b: jnp.ndarray,      # (D, 3H) input weights
+    w_f: jnp.ndarray, w_b: jnp.ndarray,        # (H, 3H) hidden weights
+    bi_f: jnp.ndarray, bi_b: jnp.ndarray,      # (1, 3H) input biases
+    bh_f: jnp.ndarray, bh_b: jnp.ndarray,      # (1, 3H) hidden biases
+    block_b: int = 0,
+    interpret: bool = False,
+):
+    """Single-input-stream fused window: projection + recurrence in-kernel.
+
+    Returns (out_f (T,B,H), out_b (T,B,H), h_final_f, h_final_b) — outputs
+    are NOT concatenated so the next layer can stream the halves directly
+    (see :func:`fused_bigru_window_inproj_pair`). A bf16 ``x`` with f32
+    weights selects the exact-2-pass projection (bit-identical to
+    Precision.HIGH for bf16-representable values — uint8 pileup counts);
+    f32 ``x`` gets the full in-kernel bf16x3; bf16 ``w_f`` selects fast
+    mode throughout."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, B, D = x.shape
+    Hm = h0_f.shape[1]
+    assert D % 128 == 0, f"in-kernel projection needs D % 128 == 0, got {D}"
+    assert Hm % 128 == 0
+    Bt = block_b or _pick_block(B, h=Hm)
+    assert B % Bt == 0
+    fast = w_f.dtype == jnp.bfloat16
+
+    stream = lambda rev: pl.BlockSpec(
+        (1, Bt, D),
+        (lambda b, t: (T - 1 - t, b, 0)) if rev else (lambda b, t: (t, b, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    return _inproj_call(
+        _kernel_inproj1, [x, x], [stream(False), stream(True)],
+        h0_f, h0_b, wi_f, wi_b, w_f, w_b, bi_f, bi_b, bh_f, bh_b,
+        Bt, T, B, Hm, fast, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def fused_bigru_window_inproj_pair(
+    xa: jnp.ndarray, xb: jnp.ndarray,          # (T, B, H) previous out halves
+    h0_f: jnp.ndarray, h0_b: jnp.ndarray,      # (B, H)
+    wi_f: jnp.ndarray, wi_b: jnp.ndarray,      # (2H, 3H) input weights
+    w_f: jnp.ndarray, w_b: jnp.ndarray,        # (H, 3H)
+    bi_f: jnp.ndarray, bi_b: jnp.ndarray,      # (1, 3H)
+    bh_f: jnp.ndarray, bh_b: jnp.ndarray,      # (1, 3H)
+    block_b: int = 0,
+    interpret: bool = False,
+):
+    """Pair-input fused window (decoder / stacked layers): consumes the
+    previous layer's (out_f, out_b) halves without concatenation."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, B, Hm = xa.shape
+    assert xb.shape == (T, B, Hm) and h0_f.shape[1] == Hm and Hm % 128 == 0
+    Bt = block_b or _pick_block(B, h=Hm)
+    assert B % Bt == 0
+    fast = w_f.dtype == jnp.bfloat16
+    if fast:
+        xa = xa.astype(jnp.bfloat16)
+        xb = xb.astype(jnp.bfloat16)
+
+    stream = lambda rev: pl.BlockSpec(
+        (1, Bt, Hm),
+        (lambda b, t: (T - 1 - t, b, 0)) if rev else (lambda b, t: (t, b, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    return _inproj_call(
+        _kernel_inproj2, [xa, xb, xa, xb],
+        [stream(False), stream(False), stream(True), stream(True)],
+        h0_f, h0_b, wi_f, wi_b, w_f, w_b, bi_f, bi_b, bh_f, bh_b,
+        Bt, T, B, Hm, fast, interpret, H=Hm)
+
+
+def inproj_vmem_bytes(h: int, bt: int = 0) -> int:
+    """Worst-case VMEM residency of the pair (decoder) in-projection kernel
+    — the largest of the family: 4 bf16 (2h, 3h) input-weight blocks plus
+    the 4 bf16 (h, 3h) hidden-weight blocks, and 6 double-buffered
+    (Bt, h)-class streams."""
+    bt = bt or _block_target(h)
+    weights = (4 * 2 * h * 3 * h + 4 * h * 3 * h) * 2  # wi + wh, hi+lo, bf16
+    streams = (4 * h + 2 * h) * 2 * 4 * bt             # 4 in + 2 out, 2x buf
+    vectors = 6 * bt * h * 4
+    return weights + streams + vectors
+
+
+def inproj_fits_vmem(h: int, budget: int = 0) -> bool:
+    budget = budget or vmem_budget_bytes()
+    return inproj_vmem_bytes(h) <= int(budget * _VMEM_USABLE)
+
+
+def bigru_apply_inproj(
+    params,
+    x,                      # (T, B, D) array OR (xa, xb) pair of (T, B, H)
+    h0_fwd: jnp.ndarray,
+    h0_bwd: jnp.ndarray,
+    fast: bool = False,
+    exact_input: bool = False,
+    interpret: bool = False,
+):
+    """Bi-GRU layer via the in-kernel-projection window kernels.
+
+    Returns (out_f, out_b, hf, hb) — halves NOT concatenated, so stacked
+    layers chain through :func:`fused_bigru_window_inproj_pair` with zero
+    intermediate concat/projection HBM arrays. ``exact_input=True`` states
+    the caller's values are exactly bf16-representable (uint8 pileup
+    counts): layer-0 inputs then stream as bf16 with the exact 2-pass
+    projection (== Precision.HIGH bit-for-bit; _proj_passes)."""
+    f, b = params["fwd"], params["bwd"]
+    args = (f["w_hh"], b["w_hh"],
+            f["b_ih"].reshape(1, -1), b["b_ih"].reshape(1, -1),
+            f["b_hh"].reshape(1, -1), b["b_hh"].reshape(1, -1))
+    if fast:
+        args = (args[0].astype(jnp.bfloat16), args[1].astype(jnp.bfloat16),
+                *args[2:])
+    if isinstance(x, tuple):
+        out_f, out_b, hf, hb = fused_bigru_window_inproj_pair(
+            x[0], x[1], h0_fwd, h0_bwd, f["w_ih"], b["w_ih"], *args,
+            interpret=interpret)
+        return out_f, out_b, hf, hb
+    D = x.shape[-1]
+    Dp = -(-D // 128) * 128
+    wi_f, wi_b = f["w_ih"], b["w_ih"]
+    if Dp != D:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Dp - D)))
+        wi_f = jnp.pad(wi_f, ((0, Dp - D), (0, 0)))
+        wi_b = jnp.pad(wi_b, ((0, Dp - D), (0, 0)))
+    if fast or exact_input:
+        x = x.astype(jnp.bfloat16)
+    elif x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+    return fused_bigru_window_inproj(
+        x, h0_fwd, h0_bwd, wi_f, wi_b, *args, interpret=interpret)
 
 
 def bigru_apply_fused(

@@ -124,7 +124,6 @@ def make_sharded_consensus_fn(mesh, precision=None, gru_layers: int = 1,
     mesh: batch on "data", params tensor-sharded on "model". Pass ``params``
     (preferred) to derive layer geometry from the pytree."""
     import jax
-    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from helen_tpu.config import WINDOW
@@ -138,9 +137,9 @@ def make_sharded_consensus_fn(mesh, precision=None, gru_layers: int = 1,
     batch_sh = NamedSharding(mesh, P("data"))
 
     def fn(params, images_u8):
-        images = images_u8.astype(jnp.float32)
-        # geometry is recovered from the params (models.transducer)
-        return consensus_labels(params, images, WINDOW, precision=precision)
+        # uint8 stays uint8: the pallas backends stream it into the window
+        # kernel as exact bf16; non-pallas backends cast inside consensus_*
+        return consensus_labels(params, images_u8, WINDOW, precision=precision)
 
     return jax.jit(
         fn,

@@ -42,7 +42,6 @@ def measure(
     backend: Optional[str] = None,
 ) -> List[dict]:
     import jax
-    import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from helen_tpu.models.transducer import consensus_labels, init_params
@@ -69,7 +68,7 @@ def measure(
         p = jax.device_put(params, rep)
 
         def step(pp, im):
-            base_l, rle_l = consensus_labels(pp, im.astype(jnp.float32),
+            base_l, rle_l = consensus_labels(pp, im,
                                              backend=backend)
             s_b, s_r = base_l.sum(), rle_l.sum()
             if k > 1:

@@ -47,6 +47,155 @@ def test_fused_matches_scan_interpret(T, B, D, H):
 
 
 @pytest.mark.parametrize(
+    "T,B,D,H", [(8, 16, 90, 128), (5, 8, 256, 128), (5, 8, 90, 256)]
+)
+def test_inproj_single_matches_scan_interpret(T, B, D, H):
+    """In-kernel-projection single-stream kernel vs lax.scan (f32 input:
+    full in-kernel bf16x3 projection), incl. a padded feature dim (90->128)
+    and a non-flagship hidden size."""
+    from helen_tpu.ops.gru_pallas import bigru_apply_inproj
+
+    params = jax.tree_util.tree_map(
+        jnp.asarray, bigru_init(jax.random.PRNGKey(7), D, H)
+    )
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((T, B, D)), dtype=jnp.float32)
+    h0f = jnp.asarray(rng.standard_normal((B, H)), dtype=jnp.float32)
+    h0b = jnp.asarray(rng.standard_normal((B, H)), dtype=jnp.float32)
+    ref_out, ref_hf, ref_hb = bigru_apply(params, x, h0f, h0b)
+    of, ob, hf, hb = bigru_apply_inproj(params, x, h0f, h0b, interpret=True)
+    got_out = jnp.concatenate([of, ob], axis=-1)
+    # bf16x3 error grows ~sqrt(K) with the contraction size (K up to 256
+    # here vs 128 for the classic kernel's w_hh product): 2e-5, not 1e-5
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(hf), np.asarray(ref_hf), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(hb), np.asarray(ref_hb), atol=2e-5)
+
+
+def test_split_bf16x2_residual_survives_jit():
+    """The hi/lo split must be computed with Veltkamp splitting (mul/sub),
+    NOT a bf16 round-trip: XLA's excess-precision pass elides the
+    bf16->f32 convert pair and rewrites ``w - f32(bf16(w))`` to zero
+    (observed on the live v5e stack 2026-08-20 — every hi/lo product
+    silently degraded to one bf16 pass, ~0.3% label flips). Pin that the
+    in-jit residual is nonzero, that hi is the round-to-nearest bf16, and
+    that hi + lo reconstructs w to ~2**-16 relative."""
+    from helen_tpu.ops.gru_pallas import _split_bf16x2
+
+    rng = np.random.default_rng(13)
+    w = jnp.asarray((rng.standard_normal((64, 128)) * 0.1).astype(np.float32))
+    hi, lo = jax.jit(_split_bf16x2)(w)
+    assert hi.dtype == jnp.bfloat16 and lo.dtype == jnp.bfloat16
+    lo_np = np.asarray(lo, dtype=np.float32)
+    assert (lo_np != 0).mean() > 0.9, "residual was elided to zero"
+    # hi must equal the round-to-nearest-even bf16 (host-computed, outside
+    # any compiler's reach)
+    hi_ref = np.asarray(jnp.asarray(np.asarray(w)).astype(jnp.bfloat16))
+    np.testing.assert_array_equal(np.asarray(hi), hi_ref)
+    recon = np.asarray(hi, np.float32) + lo_np
+    # residual of the 16-bit split: ~2**-16 relative of max|w| (~0.4)
+    np.testing.assert_allclose(recon, np.asarray(w), rtol=0, atol=8e-6)
+    # exactly-representable values (uint8 counts) split losslessly: lo == 0
+    xi = jnp.asarray(rng.integers(0, 256, size=(32, 32)).astype(np.float32))
+    hi_i, lo_i = jax.jit(_split_bf16x2)(xi)
+    assert not np.asarray(lo_i, np.float32).any()
+    np.testing.assert_array_equal(np.asarray(hi_i, np.float32), np.asarray(xi))
+
+
+def test_inproj_exact_uint8_two_pass_matches_three_pass_bitwise():
+    """For uint8-valued inputs the exact-bf16 2-pass layer-0 projection must
+    be BIT-IDENTICAL to the full bf16x3 product (TPU HIGH's construction:
+    x_hi@w_hi + x_lo@w_hi + x_hi@w_lo summed in f32): x_lo is exactly zero
+    for bf16-representable values, f32 addition of exact zero is the
+    identity, and f32 addition is commutative. (That the TPU's own
+    Precision.HIGH equals the explicit 3-pass construction is a hardware
+    property validated on the live chip — tools/parity_flips.py; CPU's HIGH
+    is true fp32, so the XLA-HIGH comparison cannot run here.)"""
+    from helen_tpu.ops.gru_pallas import _split_bf16x2
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.integers(0, 256, size=(64, 90)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((90, 384)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal((384,)).astype(np.float32))
+    w_hi, w_lo = _split_bf16x2(w)
+    x_hi, x_lo = _split_bf16x2(x)
+    assert not np.asarray(x_lo).any()  # uint8 values are exact in bf16
+    f32 = jnp.float32
+    three_pass = (
+        jnp.dot(x_hi, w_hi, preferred_element_type=f32)
+        + jnp.dot(x_lo, w_hi, preferred_element_type=f32)
+        + jnp.dot(x_hi, w_lo, preferred_element_type=f32)
+    ) + b
+    xb = x.astype(jnp.bfloat16)  # exact for integer values 0..255
+    two_pass = (
+        jnp.dot(xb, w_hi, preferred_element_type=f32)
+        + jnp.dot(xb, w_lo, preferred_element_type=f32)
+    ) + b
+    np.testing.assert_array_equal(np.asarray(three_pass), np.asarray(two_pass))
+
+
+def test_inproj_pair_matches_scan_interpret():
+    """Pair-stream kernel (decoder / stacked layers): consuming the previous
+    layer's (out_f, out_b) halves must match the scan bi-GRU on their
+    concatenation."""
+    from helen_tpu.ops.gru_pallas import bigru_apply_inproj
+
+    T, B, H = 6, 8, 128
+    params = jax.tree_util.tree_map(
+        jnp.asarray, bigru_init(jax.random.PRNGKey(8), 2 * H, H)
+    )
+    rng = np.random.default_rng(8)
+    xa = jnp.asarray(rng.standard_normal((T, B, H)), dtype=jnp.float32)
+    xb = jnp.asarray(rng.standard_normal((T, B, H)), dtype=jnp.float32)
+    h0f = jnp.asarray(rng.standard_normal((B, H)), dtype=jnp.float32)
+    h0b = jnp.asarray(rng.standard_normal((B, H)), dtype=jnp.float32)
+    ref_out, ref_hf, ref_hb = bigru_apply(
+        params, jnp.concatenate([xa, xb], axis=-1), h0f, h0b)
+    of, ob, hf, hb = bigru_apply_inproj(
+        params, (xa, xb), h0f, h0b, interpret=True)
+    got_out = jnp.concatenate([of, ob], axis=-1)
+    # bf16x3 error grows ~sqrt(K) with the contraction size (K up to 256
+    # here vs 128 for the classic kernel's w_hh product): 2e-5, not 1e-5
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(hf), np.asarray(ref_hf), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(hb), np.asarray(ref_hb), atol=2e-5)
+
+
+def test_inproj_fast_mode_close():
+    from helen_tpu.ops.gru_pallas import bigru_apply_inproj
+
+    params = jax.tree_util.tree_map(
+        jnp.asarray, bigru_init(jax.random.PRNGKey(9), 90, 128)
+    )
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((6, 8, 90)), dtype=jnp.float32)
+    h0 = jnp.zeros((8, 128))
+    ref_out, _, _ = bigru_apply(params, x, h0, h0)
+    of, ob, _, _ = bigru_apply_inproj(
+        params, x, h0, h0, fast=True, interpret=True)
+    fast_out = jnp.concatenate([of, ob], axis=-1)
+    np.testing.assert_allclose(np.asarray(fast_out), np.asarray(ref_out), atol=0.05)
+
+
+def test_inproj_vmem_gate():
+    """The in-projection kernels carry more VMEM (the (2H, 3H) input-weight
+    blocks): past that budget forward() falls back to the classic xp-stream
+    kernel, which still serves before xla takes over."""
+    from helen_tpu.ops.gru_pallas import (
+        infer_fits_vmem, inproj_fits_vmem, inproj_vmem_bytes)
+
+    floor = 16 * 1024 * 1024
+    big = 128 * 1024 * 1024
+    assert inproj_vmem_bytes(128) < inproj_vmem_bytes(512)
+    assert inproj_fits_vmem(128, floor)
+    # H=512 at the floor: inproj's 18.9 MB of weights exceed it, but the
+    # classic kernel still fits — the ladder degrades gracefully
+    assert not inproj_fits_vmem(512, floor)
+    assert infer_fits_vmem(512, floor)
+    assert inproj_fits_vmem(512, big)
+
+
+@pytest.mark.parametrize(
     "T,B,D,H", [(7, 16, 90, 128), (4, 8, 256, 128), (4, 8, 90, 256)]
 )
 def test_train_kernel_grad_matches_scan_interpret(T, B, D, H):
