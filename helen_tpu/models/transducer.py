@@ -184,10 +184,17 @@ def forward(
         from helen_tpu.ops.gru_pallas import bigru_apply_fused, inproj_fits_vmem
 
         # prefer the in-kernel-projection kernels (3x less stream traffic);
-        # their VMEM residency is larger (the (2H, 3H) input-weight blocks
-        # ride in VMEM), so geometries past that budget use the classic
-        # xp-stream kernel before falling back to xla (resolve_backend)
-        if inproj_fits_vmem(model_geometry(params).hidden_size):
+        # their VMEM residency is larger (the input-weight blocks ride in
+        # VMEM — sized max(pad128(D), 2H)), so geometries past that budget
+        # use the classic xp-stream kernel before falling back to xla
+        # (resolve_backend). An explicit precision ABOVE HIGH (an audit's
+        # HIGHEST-everywhere request) also skips the inproj route: its GRU
+        # input projections always run as in-kernel bf16x3 (== HIGH), while
+        # the classic kernel honors the caller's precision for the
+        # projections it leaves in XLA (ADVICE r3).
+        geom = model_geometry(params)
+        if inproj_fits_vmem(geom.hidden_size, d=geom.input_features) and (
+                precision is None or precision == lax.Precision.HIGH):
             return _forward_inproj(params, x, hidden, precision, backend,
                                    exact_input)
 
@@ -263,7 +270,11 @@ def consensus_probs(
     # uint8 instead of .astype(float32) saves the full-image f32
     # materialization and 4x of window-slice stream traffic. Float images
     # remain fully supported (and are what non-pallas backends compute on).
-    exact_input = bool(jnp.issubdtype(images.dtype, jnp.integer))
+    # exact only for uint8 (every value 0..255 is bf16-representable);
+    # wider integer images could carry values past 256 whose bf16 cast
+    # rounds, which would silently break the Precision.HIGH bit-identity
+    # of the 2-pass layer-0 projection (ADVICE r3)
+    exact_input = images.dtype == jnp.uint8
     if exact_input and backend not in ("pallas", "pallas_fast"):
         images = images.astype(jnp.float32)
         exact_input = False

@@ -605,21 +605,26 @@ def fused_bigru_window_inproj_pair(
         Bt, T, B, Hm, fast, interpret, H=Hm)
 
 
-def inproj_vmem_bytes(h: int, bt: int = 0) -> int:
-    """Worst-case VMEM residency of the pair (decoder) in-projection kernel
-    — the largest of the family: 4 bf16 (2h, 3h) input-weight blocks plus
-    the 4 bf16 (h, 3h) hidden-weight blocks, and 6 double-buffered
-    (Bt, h)-class streams."""
+def inproj_vmem_bytes(h: int, bt: int = 0, d: int = 0) -> int:
+    """Worst-case VMEM residency of the in-projection kernel family.
+
+    The pair (decoder) kernel holds 4 bf16 (2h, 3h) input-weight blocks plus
+    the 4 bf16 (h, 3h) hidden-weight blocks and 6 double-buffered (Bt, h)
+    streams. ``d`` is the raw layer-0 input width: bigru_apply_inproj pads it
+    to a 128 multiple and holds (Dp, 3h) blocks grid-constant, so a geometry
+    with input_features > 2h must be estimated at Dp, not 2h — otherwise the
+    gate would pass a model whose Mosaic compile fails mid-job (ADVICE r3)."""
     bt = bt or _block_target(h)
-    weights = (4 * 2 * h * 3 * h + 4 * h * 3 * h) * 2  # wi + wh, hi+lo, bf16
+    dp = max(-(-d // 128) * 128, 2 * h) if d else 2 * h
+    weights = (4 * dp * 3 * h + 4 * h * 3 * h) * 2     # wi + wh, hi+lo, bf16
     streams = (4 * h + 2 * h) * 2 * 4 * bt             # 4 in + 2 out, 2x buf
     vectors = 6 * bt * h * 4
     return weights + streams + vectors
 
 
-def inproj_fits_vmem(h: int, budget: int = 0) -> bool:
+def inproj_fits_vmem(h: int, budget: int = 0, d: int = 0) -> bool:
     budget = budget or vmem_budget_bytes()
-    return inproj_vmem_bytes(h) <= int(budget * _VMEM_USABLE)
+    return inproj_vmem_bytes(h, d=d) <= int(budget * _VMEM_USABLE)
 
 
 def bigru_apply_inproj(

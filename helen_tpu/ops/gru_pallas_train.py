@@ -236,21 +236,24 @@ def _bwd_kernel(
         dh0_b_ref[:] = dhb_new
 
 
-def train_inproj_vmem_bytes(h: int, bt: int = 0) -> int:
+def train_inproj_vmem_bytes(h: int, bt: int = 0, d: int = 0) -> int:
     """VMEM residency of the IN-PROJECTION train kernels (backward
     dominates): adds the input-weight class — per direction w_ih (2h, 3h)
     + its transpose + the dW_ih accumulator, all fp32 grid-constant
-    (144*h^2 bytes on top of the 72*h^2 w_hh class)."""
+    (144*h^2 bytes on top of the 72*h^2 w_hh class). ``d`` is the raw
+    layer-0 input width; widths past 2h pad to a 128 multiple and scale
+    the input-weight class accordingly (ADVICE r3)."""
     bt = bt or _block_target(h)
-    weights = (4 + 2) * 3 * h * h * 4 + 3 * (2 * h) * (3 * h) * 4 * 2
+    dp = max(-(-d // 128) * 128, 2 * h) if d else 2 * h
+    weights = (4 + 2) * 3 * h * h * 4 + 3 * dp * (3 * h) * 4 * 2
     streams = (4 * 2 * h + 2 * h + 2 * h + 2 * 2 * h) * 2 * 4 * bt
     vectors = 8 * bt * h * 4
     return weights + streams + vectors
 
 
-def train_inproj_fits_vmem(h: int, budget: int = 0) -> bool:
+def train_inproj_fits_vmem(h: int, budget: int = 0, d: int = 0) -> bool:
     budget = min(budget or vmem_budget_bytes(), _TRAIN_VMEM_CAP)
-    return train_inproj_vmem_bytes(h) <= int(budget * _VMEM_USABLE)
+    return train_inproj_vmem_bytes(h, d=d) <= int(budget * _VMEM_USABLE)
 
 
 def _fwd_kernel_ip(
@@ -744,7 +747,7 @@ def bigru_apply_fused_train(
     del precision
     f, b = params["fwd"], params["bwd"]
     Hm = h0_fwd.shape[-1]
-    if train_inproj_fits_vmem(Hm):
+    if train_inproj_fits_vmem(Hm, d=x.shape[-1]):
         D = x.shape[-1]
         Dp = -(-D // 128) * 128
         wi_f, wi_b = f["w_ih"], b["w_ih"]
