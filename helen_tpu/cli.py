@@ -44,6 +44,10 @@ def _add_common_consensus_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--host_shard", default="image", choices=["image", "file"],
                    help="multi-host work partition: contiguous image blocks "
                         "(balanced) or round-robin whole files (host-local IO)")
+    p.add_argument("--pipeline_depth", type=int, default=2,
+                   help="device batches in flight: host->device transfer of "
+                        "batch k+1 overlaps compute of batch k and readback "
+                        "of batch k-1")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -236,6 +240,7 @@ def main(argv=None) -> int:
             host_shard=args.host_shard,
             num_writers=args.writers,
             data_parallel=not args.no_data_parallel,
+            pipeline_depth=args.pipeline_depth,
             fastq=args.fastq,
             barrier_timeout_s=args.barrier_timeout,
         )
@@ -259,6 +264,7 @@ def main(argv=None) -> int:
             pack=args.pack,
             host_shard=args.host_shard,
             num_writers=args.writers,
+            pipeline_depth=args.pipeline_depth,
             qualities=args.qualities,
         )
         for f in files:

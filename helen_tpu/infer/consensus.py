@@ -96,14 +96,25 @@ class ConsensusStep:
             self._params = jax.device_put(params)
             self._jfn = jax.jit(fn)
 
-    def submit(self, images_u8: np.ndarray):
+    def transfer(self, images_u8: np.ndarray):
+        """Host->device copy of one batch (with the data-parallel sharding
+        when active). Separated from ``submit`` so call_consensus can run it
+        in a background thread, overlapping PCIe/relay transfer of batch k+1
+        with compute of batch k and the drain of batch k-1 (VERDICT r3
+        item 3 — tpu_submit was a third of the consensus wall)."""
+        import jax
+
         if self._batch_sharding is not None:
             # explicit placement: in a multi-process job, jit rejects numpy
             # inputs with non-trivial shardings even when the mesh is
             # host-local (inference is per-host independent by design)
-            import jax
+            return jax.device_put(images_u8, self._batch_sharding)
+        return jax.device_put(images_u8)
 
-            images_u8 = jax.device_put(images_u8, self._batch_sharding)
+    def submit(self, images_u8):
+        """Dispatch one batch (numpy or already-transferred device array)."""
+        if isinstance(images_u8, np.ndarray):
+            images_u8 = self.transfer(images_u8)
         return self._jfn(self._params, images_u8)
 
     @staticmethod
@@ -154,6 +165,7 @@ def call_consensus(
     qualities: bool = False,
     cache_dir: Optional[str] = None,
     stage_timer: Optional[StageTimer] = None,
+    pipeline_depth: int = 2,
 ) -> List[str]:
     """Run consensus calling over a directory of MarginPolish images.
 
@@ -326,28 +338,55 @@ def call_consensus(
                 dataset, eff_batch, num_workers, indices=indices
             )
 
-        # one-batch-deep pipeline: TPU computes batch k+1 while the host
-        # reads back and writes batch k
+        # pipelined main loop, ``pipeline_depth`` batches deep: a background
+        # thread runs the host->device transfer of batch k+1 (timed as
+        # tpu_transfer) while the TPU computes batch k and the host drains
+        # batch k-1 — the synchronous device_put previously inside submit
+        # was a third of the consensus wall on this harness (VERDICT r3).
+        import threading as _threading
         import time as _time
 
-        in_flight = None
+        from collections import deque
+
+        from helen_tpu.io.images import prefetched
+
+        def todo_batches():
+            nonlocal skipped
+            for batch in batch_iter:
+                if resume:
+                    # pre-existing chunks only ever shrink this run's todo
+                    # set before the loop starts (each image appears once in
+                    # the stream), so checking from the transfer thread races
+                    # with nothing that changes the answer
+                    todo = [
+                        j for j, rec in enumerate(batch.records)
+                        if not store.has_chunk(rec.contig, rec.contig_start,
+                                               rec.contig_end, rec.chunk_id)
+                    ]
+                    if not todo:
+                        skipped += len(batch.records)
+                        continue
+                    # partially-present batches still run whole (static
+                    # shapes); drain() counts their stored records as skipped
+                yield batch
+
+        def transferred():
+            for batch in todo_batches():
+                with timer.stage("tpu_transfer"):
+                    dev = step.transfer(batch.images)
+                yield batch, dev
+
+        depth = max(1, pipeline_depth)
+        in_flight: deque = deque()
         last_flush = _time.monotonic()
-        for bi, batch in enumerate(batch_iter):
-            if resume:
-                todo = [
-                    j for j, rec in enumerate(batch.records)
-                    if not store.has_chunk(rec.contig, rec.contig_start, rec.contig_end, rec.chunk_id)
-                ]
-                if not todo:
-                    skipped += len(batch.records)
-                    continue
-                # partially-present batches still run whole (static shapes);
-                # drain() counts their already-stored records as skipped
+        stop_evt = _threading.Event()
+        for bi, (batch, dev_images) in enumerate(
+                prefetched(transferred, stop_evt, depth)):
             with timer.stage("tpu_submit"):
-                handle = step.submit(batch.images)
-            if in_flight is not None:
-                drain(in_flight)
-            in_flight = (batch, handle)
+                handle = step.submit(dev_images)
+            in_flight.append((batch, handle))
+            if len(in_flight) > depth:
+                drain(in_flight.popleft())
             if bi % 10 == 0:
                 log.info("batch %d/%d  |  %s", bi + 1, total_batches, windows)
             # flush so a hard kill (preemption) leaves a readable store for
@@ -358,8 +397,8 @@ def call_consensus(
                 with timer.stage("flush"):
                     store.flush()
                 last_flush = _time.monotonic()
-        if in_flight is not None:
-            drain(in_flight)
+        while in_flight:
+            drain(in_flight.popleft())
         windows.stop()
 
     log.info("consensus done: %d images written, %d skipped (resume), %s",

@@ -76,6 +76,7 @@ def polish(
     host_shard: str = "image",
     data_parallel: bool = True,
     num_writers: int = 1,
+    pipeline_depth: int = 2,
     fastq: bool = False,
     barrier_timeout_s: float = 86400.0,
 ) -> str:
@@ -139,6 +140,7 @@ def polish(
             host_shard=host_shard,
             data_parallel=data_parallel,
             num_writers=num_writers,
+            pipeline_depth=pipeline_depth,
             qualities=fastq,
             # cache in the STABLE parent, not the per-run timestamped
             # predictions dir — otherwise every fresh polish re-packs the
