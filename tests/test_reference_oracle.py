@@ -119,16 +119,24 @@ def ref_model_pkl(ref, tmp_path_factory):
     return path
 
 
-def reference_predict_replay(ref, model, images_u8):
+def reference_predict_replay(ref, model, images_u8, gru_layers=None,
+                             hidden_size=None):
     """Verbatim replay of the reference inference loop
     (predict_gpu.py:94-159) on CPU through the reference model object:
     float conversion, zero hidden, 19 windows of 100 at stride 50, softmax +
-    ZeroPad2d + add voting, torch.max argmax."""
+    ZeroPad2d + add voting, torch.max argmax. ``gru_layers``/``hidden_size``
+    default to the flagship TrainOptions geometry; the generalized-geometry
+    golden recorder (tests/golden/make_golden_geom.py) passes the model's
+    own dimensions, mirroring how the reference rebuilds a model from
+    checkpoint fields (ModelHander.py:50-63)."""
     torch = ref.torch
     nn = torch.nn
+    if gru_layers is None:
+        gru_layers = ref.TrainOptions.GRU_LAYERS
+    if hidden_size is None:
+        hidden_size = ref.TrainOptions.HIDDEN_SIZE
     images = torch.from_numpy(images_u8).type(torch.FloatTensor)
-    hidden = torch.zeros(images.size(0), 2 * ref.TrainOptions.GRU_LAYERS,
-                         ref.TrainOptions.HIDDEN_SIZE)
+    hidden = torch.zeros(images.size(0), 2 * gru_layers, hidden_size)
     prediction_base_tensor = torch.zeros(
         (images.size(0), images.size(1), ref.ImageSizeOptions.TOTAL_BASE_LABELS))
     prediction_rle_tensor = torch.zeros(
