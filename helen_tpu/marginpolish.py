@@ -18,10 +18,18 @@ import sys
 
 
 def find_marginpolish() -> str:
-    """Locate the marginPolish binary or raise with guidance."""
+    """Locate the marginPolish binary or raise with guidance.
+
+    Search order: $HELEN_TPU_MARGINPOLISH, a bundled copy next to the
+    package (``helen_tpu/bin/marginPolish`` — where the Docker image's
+    pinned v1.3.0 build can be placed, mirroring the reference's
+    ``helen/bin`` bundling, setup.py:82-90), then $PATH."""
     candidate = os.environ.get("HELEN_TPU_MARGINPOLISH")
     if candidate and os.path.isfile(candidate) and os.access(candidate, os.X_OK):
         return candidate
+    bundled = os.path.join(os.path.dirname(__file__), "bin", "marginPolish")
+    if os.path.isfile(bundled) and os.access(bundled, os.X_OK):
+        return bundled
     for name in ("marginPolish", "marginpolish"):
         path = shutil.which(name)
         if path:

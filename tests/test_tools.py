@@ -132,6 +132,44 @@ def test_marginpolish_wrapper_passthrough(tmp_path, monkeypatch, capsys):
     assert marginpolish.main(["reads.bam", "draft.fa", "params.json"]) == 0
 
 
+def test_marginpolish_wrapper_bundled_binary(tmp_path, monkeypatch):
+    """A binary at helen_tpu/bin/marginPolish (the Docker image's pinned
+    v1.3.0 build location) is found without env or PATH setup."""
+    import helen_tpu.marginpolish as mp
+
+    monkeypatch.setenv("PATH", "/nonexistent")
+    monkeypatch.delenv("HELEN_TPU_MARGINPOLISH", raising=False)
+    fake_pkg = tmp_path / "pkg"
+    (fake_pkg / "bin").mkdir(parents=True)
+    fake = fake_pkg / "bin" / "marginPolish"
+    fake.write_text("#!/bin/sh\nexit 0\n")
+    fake.chmod(0o755)
+    monkeypatch.setattr(mp.os.path, "dirname", lambda _p: str(fake_pkg))
+    assert mp.find_marginpolish() == str(fake)
+
+
+def test_vendored_masked_regions_bed(tmp_path):
+    """The vendored GRCh38 assessment BED (masked_regions/) parses and
+    drives bed_mask end to end."""
+    from helen_tpu.tools import bed_mask
+    from helen_tpu.tools.quast_sv_extractor import read_bed
+
+    bed = os.path.join(os.path.dirname(__file__), "..", "masked_regions",
+                       "GRCh38_masked_regions.bed")
+    intervals = read_bed(bed)
+    assert sum(len(v) for v in intervals.values()) == 5204
+    assert "chr1" in intervals and "chrX" in intervals
+    # apply the real chr1 intervals to a toy chr1 FASTA
+    fa = tmp_path / "asm.fa"
+    fa.write_text(">chr1\n" + "A" * 300000 + "\n")
+    out = tmp_path / "masked.fa"
+    n = bed_mask.mask_fasta(str(fa), bed, str(out))
+    # first chr1 interval is 0-217666 plus 247666-300000 of the second
+    assert n == 217666 + (300000 - 247666)
+    seq = out.read_text().splitlines()[1]
+    assert seq[:217666] == "N" * 217666 and seq[217667] == "A"
+
+
 def test_hyperband_schedule():
     from helen_tpu.train.hyperband import Hyperband
 
