@@ -36,4 +36,29 @@ assert d["e2e_images_per_s"] > 0
 print("bench contract OK")
 EOF
 
+echo "== scaling datum (virtual 8-device CPU mesh) =="
+# records the sharded-consensus scaling curve as an artifact (VERDICT r3
+# item 7). On an oversubscribed CPU box the per-device efficiency column
+# measures core sharing, so the asserted signal is AGGREGATE flatness:
+# shard_map adds no material overhead => total windows/s at 8 devices
+# stays near the 1-device total (same physical cores either way).
+XLA_FLAGS="--xla_force_host_platform_device_count=8 ${XLA_FLAGS:-}" \
+python - <<'EOF'
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys
+from helen_tpu.tools.scaling_bench import main
+sys.exit(main(["-b", "4", "--steps", "2", "--devices", "1,2,4,8",
+               "--json_out", "SCALING_CPU.json"]))
+EOF
+python - <<'EOF'
+import json
+d = json.load(open("SCALING_CPU.json"))
+rows = d["rows"]
+assert [r["devices"] for r in rows] == [1, 2, 4, 8]
+ratio = d["meta"]["aggregate_ratio"]
+assert ratio >= 0.5, f"8-device aggregate fell to {ratio} of 1-device"
+print(f"scaling artifact OK: aggregate_ratio={ratio}")
+EOF
+
 echo "ALL CHECKS PASSED"
