@@ -106,21 +106,24 @@ def _measure_infer(jax, jnp, params, stacked, backend: str,
 
 
 def _measure_parity_flips(jax, jnp, params, batch_u8):
-    """On-device label-flip count: pallas parity tier vs the fp32(HIGH) xla
-    scan, same batch, one jit — makes "byte-parity grade" a recorded number
-    in the driver JSON instead of a doc claim (VERDICT r3 item 2). Returns
-    (base_flips, rle_flips, labels_per_head)."""
+    """On-device label-flip counts vs the fp32(HIGH) xla scan on the same
+    batch, one jit per tier — makes the parity grade a recorded number in
+    the driver JSON instead of a doc claim (VERDICT r3 item 2). Returns
+    {parity_flips_*, fast_flips_*, parity_flip_labels_per_head}."""
     from helen_tpu.models.transducer import consensus_labels
 
-    def fn(p, im):
-        bp, rp = consensus_labels(p, im, backend="pallas")
+    def fn(p, im, backend):
+        bp, rp = consensus_labels(p, im, backend=backend)
         bx, rx = consensus_labels(p, im.astype(jnp.float32), backend="xla")
         return ((bp != bx).sum(dtype=jnp.int32),
                 (rp != rx).sum(dtype=jnp.int32))
 
-    b, r = jax.jit(fn)(params, batch_u8)
-    n = int(np.prod(batch_u8.shape[:2]))
-    return int(b), int(r), n
+    out = {"parity_flip_labels_per_head": int(np.prod(batch_u8.shape[:2]))}
+    for tier, backend in (("parity", "pallas"), ("fast", "pallas_fast")):
+        b, r = jax.jit(fn, static_argnums=2)(params, batch_u8, backend)
+        out[f"{tier}_flips_base"] = int(b)
+        out[f"{tier}_flips_rle"] = int(r)
+    return out
 
 
 def _measure_train(jax, jnp, backend: str, trials: int = TRIALS):
@@ -354,10 +357,7 @@ def main() -> None:
         "train_trials": [round(x, 1) for x in train_trials],
     }
     if flips is not None:
-        b, r, n = flips
-        out["parity_flips_base"] = b
-        out["parity_flips_rle"] = r
-        out["parity_flip_labels_per_head"] = n
+        out.update(flips)
     out.update(e2e)
     print(json.dumps(out))
 

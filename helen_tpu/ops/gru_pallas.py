@@ -59,6 +59,20 @@ parity tier's audited numerics. (d) still fails verification on bf16
 vectors. Conclusion: the per-step recurrence is at its per-chip floor;
 remaining end-to-end headroom lives outside this kernel.
 
+Fast-tier floor retested 2026-08-21 against the VERDICT r3 "1M w/s" ask,
+both candidates REFUTED with numbers (chained-jit protocol, v5e, B=1024):
+(e) rational gate activations in fast mode (clamped Pade(5,4) tanh +
+tanh-identity sigmoid, max err ~1.5e-3): 892K -> 643K w/s — the VPU's
+native transcendental lowering beats a divide-based rational, AND label
+flips vs the fp32 reference roughly doubled, 515+224 -> 1184+742 per
+128k-per-head (to ~1%, past the bf16 tier's own near-tie band); (f) packed bf16 gates: STILL crashes the
+Mosaic verifier ('vector.broadcast' f32 -> vector<256x128xbf16>, same
+class as (d)) on the current stack; (g) batch-block sweep Bt=256/512/1024
+on the inproj kernels: 891.9K / 890.4K / 891.3K — flat, so per-step
+pipeline overhead is not the bottleneck either. The fast tier's ~890K w/s
+IS the VPU transcendental floor on this generation; next headroom would
+need a hardware-lowered packed-bf16 sigmoid/tanh from Mosaic.
+
 That headroom was harvested 2026-08-20 by the IN-KERNEL-PROJECTION kernels
 below (_kernel_inproj1/_kernel_inproj2): the serial-increment ablation
 (tools/parity_ablation2.py) showed the parity program was
