@@ -109,14 +109,21 @@ class PredictionWriterPool:
         self._procs = []
         self._chunks: Set[Tuple[str, str]] = set()
         self._closed = False
-        for path in self.paths:
-            wmode = mode if (mode == "w" or os.path.exists(path)) else "w"
-            q = ctx.Queue(maxsize=queue_depth)
-            p = ctx.Process(target=_writer_main, args=(path, wmode, q, self._result_q),
-                            daemon=True)
-            p.start()
-            self._work_qs.append(q)
-            self._procs.append(p)
+        # writer processes are pure-CPU (h5py + numpy): scrub accelerator-
+        # bootstrap env vars so each spawned interpreter starts lean instead
+        # of registering its own TPU client (utils.procs.lean_worker_env)
+        from helen_tpu.utils.procs import lean_worker_env
+
+        with lean_worker_env():
+            for path in self.paths:
+                wmode = mode if (mode == "w" or os.path.exists(path)) else "w"
+                q = ctx.Queue(maxsize=queue_depth)
+                p = ctx.Process(target=_writer_main,
+                                args=(path, wmode, q, self._result_q),
+                                daemon=True)
+                p.start()
+                self._work_qs.append(q)
+                self._procs.append(p)
         # startup barrier: every worker reports its existing chunk keys (or
         # an error, e.g. an unwritable path) before any writes are routed.
         # Poll with liveness checks — a worker that dies before reporting

@@ -415,7 +415,12 @@ class Stitcher:
                 ))
             return
         # spawn (not fork): the parent may hold JAX/TPU runtime threads,
-        # and forking a multithreaded process can deadlock
+        # and forking a multithreaded process can deadlock. Workers are
+        # pure-CPU (numpy + h5py + native SSW): lean_worker_env keeps the
+        # spawned interpreters from bootstrapping an accelerator client
+        # (2.3 s/worker + a device claim on the TPU harness — utils.procs)
+        from helen_tpu.utils.procs import lean_worker_env
+
         try:
             ex = concurrent.futures.ProcessPoolExecutor(
                 max_workers=self.threads,
@@ -432,12 +437,15 @@ class Stitcher:
             return
         done = False
         try:
-            futures = {
-                contig: [ex.submit(_stitch_key_group, contig, g, self.cfg,
-                                   self.with_quality)
-                         for g in groups]
-                for contig, groups in plan
-            }
+            with lean_worker_env():
+                # workers launch lazily inside submit — keep every spawn
+                # inside the scrubbed-env window
+                futures = {
+                    contig: [ex.submit(_stitch_key_group, contig, g, self.cfg,
+                                       self.with_quality)
+                             for g in groups]
+                    for contig, groups in plan
+                }
             for contig, groups in plan:
                 results: List[Tuple] = []
                 failed_groups: List[Sequence] = []

@@ -163,3 +163,50 @@ def test_resume_across_pool_size_change(tmp_path):
               if p.endswith(".hdf")]
     seq = stitch_contig(shards, "ctgR", threads=1)
     assert len(seq) > 3000
+
+
+def test_lean_worker_env_scrubs_children_and_restores(monkeypatch):
+    """Children spawned inside lean_worker_env must not see the
+    accelerator-bootstrap trigger vars; the parent env is restored even on
+    error; HELEN_TPU_SCRUB_WORKER_ENV overrides the list."""
+    import multiprocessing
+    import os
+
+    from helen_tpu.utils.procs import lean_worker_env
+
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+    ctx = multiprocessing.get_context("spawn")
+    with lean_worker_env():
+        assert "PALLAS_AXON_POOL_IPS" not in os.environ
+        q = ctx.Queue()
+        p = ctx.Process(target=_env_probe, args=(q,))
+        p.start()
+        p.join(60)
+        assert q.get(timeout=10) == "absent"
+    assert os.environ["PALLAS_AXON_POOL_IPS"] == "10.0.0.1"
+
+    # restore-on-error
+    try:
+        with lean_worker_env():
+            assert "PALLAS_AXON_POOL_IPS" not in os.environ
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert os.environ["PALLAS_AXON_POOL_IPS"] == "10.0.0.1"
+
+    # override list: empty string disables scrubbing
+    monkeypatch.setenv("HELEN_TPU_SCRUB_WORKER_ENV", "")
+    with lean_worker_env():
+        assert "PALLAS_AXON_POOL_IPS" in os.environ
+    monkeypatch.setenv("HELEN_TPU_SCRUB_WORKER_ENV", "MY_TRIGGER")
+    monkeypatch.setenv("MY_TRIGGER", "1")
+    with lean_worker_env():
+        assert "MY_TRIGGER" not in os.environ
+        assert "PALLAS_AXON_POOL_IPS" in os.environ
+    assert os.environ["MY_TRIGGER"] == "1"
+
+
+def _env_probe(q):
+    import os
+
+    q.put("absent" if "PALLAS_AXON_POOL_IPS" not in os.environ else "present")
