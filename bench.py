@@ -54,8 +54,9 @@ E2E_WRITERS = int(os.environ.get("HELEN_BENCH_E2E_WRITERS", 4))
 
 
 def _median(xs):
-    xs = sorted(xs)
-    return xs[len(xs) // 2]
+    import statistics
+
+    return statistics.median(xs)
 
 
 def _measure_infer(jax, jnp, params, stacked, backend: str,
@@ -107,23 +108,30 @@ def _measure_infer(jax, jnp, params, stacked, backend: str,
 
 def _measure_parity_flips(jax, jnp, params, batch_u8):
     """On-device label-flip counts vs the fp32(HIGH) xla scan on the same
-    batch, one jit per tier — makes the parity grade a recorded number in
-    the driver JSON instead of a doc claim (VERDICT r3 item 2). Returns
-    {parity_flips_*, fast_flips_*, parity_flip_labels_per_head}."""
+    batch — ONE jit holding all three programs, so the (expensive, 2-300 s
+    over this harness's remote-compile relay) xla scan branch compiles and
+    runs once instead of once per tier. Makes the parity grade a recorded
+    number in the driver JSON instead of a doc claim (VERDICT r3 item 2).
+    Returns {parity_flips_*, fast_flips_*, parity_flip_labels_per_head}."""
     from helen_tpu.models.transducer import consensus_labels
 
-    def fn(p, im, backend):
-        bp, rp = consensus_labels(p, im, backend=backend)
+    def fn(p, im):
         bx, rx = consensus_labels(p, im.astype(jnp.float32), backend="xla")
-        return ((bp != bx).sum(dtype=jnp.int32),
-                (rp != rx).sum(dtype=jnp.int32))
+        counts = []
+        for backend in ("pallas", "pallas_fast"):
+            bp, rp = consensus_labels(p, im, backend=backend)
+            counts.append((bp != bx).sum(dtype=jnp.int32))
+            counts.append((rp != rx).sum(dtype=jnp.int32))
+        return counts
 
-    out = {"parity_flip_labels_per_head": int(np.prod(batch_u8.shape[:2]))}
-    for tier, backend in (("parity", "pallas"), ("fast", "pallas_fast")):
-        b, r = jax.jit(fn, static_argnums=2)(params, batch_u8, backend)
-        out[f"{tier}_flips_base"] = int(b)
-        out[f"{tier}_flips_rle"] = int(r)
-    return out
+    pb, pr, fb, fr = jax.jit(fn)(params, batch_u8)
+    return {
+        "parity_flip_labels_per_head": int(np.prod(batch_u8.shape[:2])),
+        "parity_flips_base": int(pb),
+        "parity_flips_rle": int(pr),
+        "fast_flips_base": int(fb),
+        "fast_flips_rle": int(fr),
+    }
 
 
 def _measure_train(jax, jnp, backend: str, trials: int = TRIALS):

@@ -350,9 +350,15 @@ def call_consensus(
 
         from helen_tpu.io.images import prefetched
 
+        # skipped_whole is owned by the PRODUCER thread, `skipped` (partial
+        # batches) by the main thread in drain() — two counters because a
+        # shared `skipped += ...` from both threads can lose increments
+        # (+= is load/add/store; the GIL doesn't make it atomic)
+        skipped_whole = 0
+
         def todo_batches():
-            nonlocal skipped
-            for batch in batch_iter:
+            nonlocal skipped_whole
+            for abs_bi, batch in enumerate(batch_iter):
                 if resume:
                     # pre-existing chunks only ever shrink this run's todo
                     # set before the loop starts (each image appears once in
@@ -364,23 +370,23 @@ def call_consensus(
                                                rec.contig_end, rec.chunk_id)
                     ]
                     if not todo:
-                        skipped += len(batch.records)
+                        skipped_whole += len(batch.records)
                         continue
                     # partially-present batches still run whole (static
                     # shapes); drain() counts their stored records as skipped
-                yield batch
+                yield abs_bi, batch
 
         def transferred():
-            for batch in todo_batches():
+            for abs_bi, batch in todo_batches():
                 with timer.stage("tpu_transfer"):
                     dev = step.transfer(batch.images)
-                yield batch, dev
+                yield abs_bi, batch, dev
 
         depth = max(1, pipeline_depth)
         in_flight: deque = deque()
         last_flush = _time.monotonic()
         stop_evt = _threading.Event()
-        for bi, (batch, dev_images) in enumerate(
+        for bi, (abs_bi, batch, dev_images) in enumerate(
                 prefetched(transferred, stop_evt, depth)):
             with timer.stage("tpu_submit"):
                 handle = step.submit(dev_images)
@@ -388,7 +394,11 @@ def call_consensus(
             if len(in_flight) > depth:
                 drain(in_flight.popleft())
             if bi % 10 == 0:
-                log.info("batch %d/%d  |  %s", bi + 1, total_batches, windows)
+                # abs_bi is the position in the FULL batch stream (resume-
+                # skipped batches included) so progress tracks the input,
+                # not just the remaining work
+                log.info("batch %d/%d  |  %s", abs_bi + 1, total_batches,
+                         windows)
             # flush so a hard kill (preemption) leaves a readable store for
             # --resume instead of a truncated HDF5 B-tree. Time-based, not
             # batch-count: at large batch sizes ten batches can be many
@@ -401,6 +411,7 @@ def call_consensus(
             drain(in_flight.popleft())
         windows.stop()
 
+    skipped += skipped_whole  # producer thread has exited by now
     log.info("consensus done: %d images written, %d skipped (resume), %s",
              written, skipped, windows)
     log.info("stage timings:\n%s", timer.report())

@@ -106,6 +106,23 @@ def init_hidden_for(params: Params, batch_size: int, dtype=jnp.float32) -> jnp.n
     return init_hidden(batch_size, model_geometry(params), dtype)
 
 
+def _inproj_route(geom: ModelConfig, precision) -> bool:
+    """THE inproj-dispatch predicate — the single source of truth shared by
+    :func:`forward` (which acts on it) and :func:`engaged_kernel` (which
+    records it in bench/validation artifacts; the two must never diverge).
+
+    True when the in-kernel-projection kernels serve this geometry: their
+    grid-constant input-weight blocks (sized max(pad128(D), 2H) x 3H) must
+    fit VMEM, and the caller must not demand a precision ABOVE HIGH — the
+    in-kernel projections always run as bf16x3 (== HIGH), while the classic
+    kernel honors the caller's precision for the projections it leaves in
+    XLA (ADVICE r3)."""
+    from helen_tpu.ops.gru_pallas import inproj_fits_vmem
+
+    return inproj_fits_vmem(geom.hidden_size, d=geom.input_features) and (
+        precision is None or precision == lax.Precision.HIGH)
+
+
 def _forward_inproj(
     params: Params,
     x: jnp.ndarray,
@@ -181,20 +198,13 @@ def forward(
     if backend in ("pallas", "pallas_fast"):
         import functools
 
-        from helen_tpu.ops.gru_pallas import bigru_apply_fused, inproj_fits_vmem
+        from helen_tpu.ops.gru_pallas import bigru_apply_fused
 
-        # prefer the in-kernel-projection kernels (3x less stream traffic);
-        # their VMEM residency is larger (the input-weight blocks ride in
-        # VMEM — sized max(pad128(D), 2H)), so geometries past that budget
-        # use the classic xp-stream kernel before falling back to xla
-        # (resolve_backend). An explicit precision ABOVE HIGH (an audit's
-        # HIGHEST-everywhere request) also skips the inproj route: its GRU
-        # input projections always run as in-kernel bf16x3 (== HIGH), while
-        # the classic kernel honors the caller's precision for the
-        # projections it leaves in XLA (ADVICE r3).
-        geom = model_geometry(params)
-        if inproj_fits_vmem(geom.hidden_size, d=geom.input_features) and (
-                precision is None or precision == lax.Precision.HIGH):
+        # prefer the in-kernel-projection kernels (3x less stream traffic)
+        # when the shared predicate admits them — geometries past the VMEM
+        # budget use the classic xp-stream kernel before falling back to
+        # xla (resolve_backend); see _inproj_route for the full conditions
+        if _inproj_route(model_geometry(params), precision):
             return _forward_inproj(params, x, hidden, precision, backend,
                                    exact_input)
 
@@ -418,13 +428,11 @@ def engaged_kernel(params, backend: str, precision=None) -> str:
         fits = train_inproj_fits_vmem(geom.hidden_size,
                                       d=geom.input_features)
         return "pallas_train_inproj" if fits else "pallas_train_xp"
-    from helen_tpu.ops.gru_pallas import inproj_fits_vmem
-
     if precision is None and backend == "pallas":
         precision = lax.Precision.HIGH  # consensus_probs' parity default
-    fits = inproj_fits_vmem(geom.hidden_size, d=geom.input_features) and (
-        precision is None or precision == lax.Precision.HIGH)
-    return f"{backend}_inproj" if fits else f"{backend}_xp"
+    # the SAME predicate forward dispatches on — not a re-derivation
+    return (f"{backend}_inproj" if _inproj_route(geom, precision)
+            else f"{backend}_xp")
 
 
 def resolve_backend(requested, kind: str, log=None, params=None) -> str:

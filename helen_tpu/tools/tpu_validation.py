@@ -113,21 +113,35 @@ def run(batch: int = 64) -> dict:
     orig = gru_pallas.inproj_fits_vmem
     try:
         gru_pallas.inproj_fits_vmem = lambda *a, **k: False
+        # guard against this check going vacuous: the patch must actually
+        # flip the shared dispatch predicate (transducer._inproj_route reads
+        # the gate through the module attribute) — if a refactor hoists the
+        # import or changes the gate, fail loudly instead of comparing
+        # inproj against itself
+        if engaged_kernel(params, "pallas") != "pallas_xp":
+            raise RuntimeError(
+                "classic-kernel forcing no longer works: engaged_kernel "
+                f"reports {engaged_kernel(params, 'pallas')!r} under the "
+                "patched VMEM gate — fix tpu_validation's forcing mechanism")
 
-        @jax.jit
         def classic(p, im):
             v = votes(p, im, "pallas")
             return v
 
-        vc = classic(params, images)
+        classic_lowered = jax.jit(classic).lower(params, images)
+        vc = classic_lowered.compile()(params, images)
     finally:
         gru_pallas.inproj_fits_vmem = orig
 
-    @jax.jit
     def inproj(p, im):
         return votes(p, im, "pallas")
 
-    vi = inproj(params, images)
+    inproj_lowered = jax.jit(inproj).lower(params, images)
+    # second vacuity guard: the two programs must actually differ
+    if inproj_lowered.as_text() == classic_lowered.as_text():
+        raise RuntimeError("classic and inproj lowerings are identical — "
+                           "the kernel-family comparison is vacuous")
+    vi = inproj_lowered.compile()(params, images)
     d_kernels = _tree_maxdiff(vi, vc)
     lc, li = labels(vc), labels(vi)
     fl_k = int((np.asarray(lc[0]) != np.asarray(li[0])).sum()

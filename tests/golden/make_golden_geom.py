@@ -73,6 +73,15 @@ def main() -> None:
             opt = torch.optim.Adam(model.parameters(), lr=1e-4)
             pkl = os.path.join(HERE, f"golden_{name}.pkl")
             ref.ModelHandler.save_model(model, opt, hidden, layers, 0, pkl)
+            # also vendor the CONVERTED native checkpoint: the byte-identity
+            # tests must run in torch-less environments (loading a pkl needs
+            # torch; the npz doesn't), which is the whole point of recording
+            # these fixtures
+            from helen_tpu.io.checkpoint import load_model_any, save_checkpoint
+
+            params, meta = load_model_any(pkl)
+            save_checkpoint(os.path.join(HERE, f"golden_{name}.npz"), params,
+                            meta=meta)
 
             # reload through the reference's own loader (it rebuilds the
             # model from the checkpoint's hidden_size/gru_layers fields,

@@ -4,7 +4,10 @@ The flagship golden fixture (test_golden_model.py) pins only the 1-layer
 H=128 geometry. These fixtures — recorded by the reference's own model /
 DataStore / Stitch code via tests/golden/make_golden_geom.py — pin the two
 generality axes of models/transducer.py end to end, with no torch and no
-/root/reference needed at test time:
+/root/reference needed at test time (the byte-identity tests load the
+vendored NATIVE .npz conversion of each reference pkl; loading the pkl
+itself requires torch, so that equivalence is pinned separately below,
+torch-gated):
 
   * ``l2_h128``: 2 stacked bidirectional GRU layers (checkpoint layout with
     "l1" sibling keys; reference TransducerModel.py parameterizes
@@ -25,7 +28,7 @@ GEOMETRIES = {
 }
 
 pytestmark = pytest.mark.skipif(
-    not os.path.exists(os.path.join(GOLDEN_DIR, "golden_l2_h128.pkl")),
+    not os.path.exists(os.path.join(GOLDEN_DIR, "golden_l2_h128.npz")),
     reason="geometry golden fixtures not generated",
 )
 
@@ -38,23 +41,23 @@ def image_file(tmp_path_factory):
 
 
 @pytest.mark.parametrize("name", sorted(GEOMETRIES))
-def test_geometry_pkl_reproduces_recorded_fasta(image_file, tmp_path, name):
-    """reference-format pkl -> consensus -> stitch must reproduce the
+def test_geometry_npz_reproduces_recorded_fasta(image_file, tmp_path, name):
+    """vendored native checkpoint -> consensus -> stitch must reproduce the
     reference-recorded FASTA bytes for the stacked and non-lane-multiple
-    geometries."""
+    geometries (torch-free)."""
     from helen_tpu.infer.consensus import call_consensus
     from helen_tpu.infer.polish import perform_stitch
     from helen_tpu.io.checkpoint import load_model_any
     from helen_tpu.models.transducer import model_geometry
 
-    pkl = os.path.join(GOLDEN_DIR, f"golden_{name}.pkl")
-    params, meta = load_model_any(pkl)
+    npz = os.path.join(GOLDEN_DIR, f"golden_{name}.npz")
+    params, meta = load_model_any(npz)
     geom = model_geometry(params)
     assert geom.gru_layers == GEOMETRIES[name]["gru_layers"]
     assert geom.hidden_size == GEOMETRIES[name]["hidden_size"]
 
     out = str(tmp_path / "out")
-    call_consensus(image_files=[image_file], model_path=pkl, output_dir=out,
+    call_consensus(image_files=[image_file], model_path=npz, output_dir=out,
                    batch_size=4, num_workers=2)
     fasta = perform_stitch(out, out, "polished", threads=1)
     with open(os.path.join(GOLDEN_DIR, f"golden_{name}.fa"), "rb") as f:
@@ -73,7 +76,7 @@ def test_geometry_labels_match(image_file, name):
     from helen_tpu.infer.consensus import make_consensus_step
 
     golden = np.load(os.path.join(GOLDEN_DIR, f"golden_{name}_labels.npz"))
-    params, _ = load_model_any(os.path.join(GOLDEN_DIR, f"golden_{name}.pkl"))
+    params, _ = load_model_any(os.path.join(GOLDEN_DIR, f"golden_{name}.npz"))
     step, _ = make_consensus_step(params, data_parallel=False)
     dataset = MarginPolishDataset([image_file])
     checked = 0
@@ -86,3 +89,23 @@ def test_geometry_labels_match(image_file, name):
             assert (np.asarray(rle[j]) == golden[f"rle/{key}"]).all(), key
             checked += 1
     assert checked == len(golden.files) // 2 > 0
+
+
+@pytest.mark.parametrize("name", sorted(GEOMETRIES))
+def test_geometry_pkl_matches_vendored_npz(name):
+    """The vendored npz IS the pkl: loading the reference-format pkl (torch
+    path) yields the identical parameter pytree, so the torch-free tests
+    above transitively pin the pkl journey too."""
+    pytest.importorskip("torch")
+    from helen_tpu.io.checkpoint import load_model_any
+
+    import jax
+
+    p_pkl, _ = load_model_any(os.path.join(GOLDEN_DIR, f"golden_{name}.pkl"))
+    p_npz, _ = load_model_any(os.path.join(GOLDEN_DIR, f"golden_{name}.npz"))
+    leaves_pkl = jax.tree_util.tree_leaves_with_path(p_pkl)
+    leaves_npz = jax.tree_util.tree_leaves_with_path(p_npz)
+    assert len(leaves_pkl) == len(leaves_npz) > 0
+    for (ka, a), (kb, b) in zip(leaves_pkl, leaves_npz):
+        assert ka == kb
+        assert np.array_equal(np.asarray(a), np.asarray(b)), ka
