@@ -301,6 +301,26 @@ def list_contigs(prediction_files: List[str]) -> List[str]:
     return sorted(contigs)
 
 
+def _region_span_from_key(region_key: str, contig: str) -> "Optional[Tuple[int, int]]":
+    """Parse (contig_start, contig_end) out of a region group NAME.
+
+    Both this store and the reference DataStore name region groups
+    ``{contig}-{contig_start}-{contig_end}`` (DataStore.py:108,
+    write_prediction above), so the span is recoverable without opening the
+    group's two scalar datasets — at genome scale those two h5py reads per
+    region per shard were ~25% of single-process stitch time. Returns None
+    (caller falls back to reading the datasets) for any name that doesn't
+    match, e.g. a contig whose own name ends in ``-<digits>-<digits>``
+    written by some third-party producer with a different convention."""
+    prefix = contig + "-"
+    if not region_key.startswith(prefix):
+        return None
+    parts = region_key[len(prefix):].split("-")
+    if len(parts) != 2 or not (parts[0].isdigit() and parts[1].isdigit()):
+        return None
+    return int(parts[0]), int(parts[1])
+
+
 def list_region_keys(
     prediction_files: List[str], contig: str
 ) -> List[Tuple[Tuple[str, ...], str, int, int]]:
@@ -316,13 +336,15 @@ def list_region_keys(
         if cgrp is None:
             continue
         for region_key in sorted(cgrp.keys()):
-            grp = cgrp[region_key]
-            start = int(grp["contig_start"][()])
-            end = int(grp["contig_end"][()])
             if region_key in regions:
                 regions[region_key][0].append(path)
-            else:
-                regions[region_key] = ([path], start, end)
+                continue
+            span = _region_span_from_key(region_key, contig)
+            if span is None:
+                grp = cgrp[region_key]
+                span = (int(grp["contig_start"][()]),
+                        int(grp["contig_end"][()]))
+            regions[region_key] = ([path], span[0], span[1])
     out = [
         (tuple(paths), region_key, start, end)
         for region_key, (paths, start, end) in regions.items()
@@ -345,31 +367,50 @@ def read_region_chunks(
 
     ``with_quals=True`` yields 4-tuples whose last element is the chunk's
     per-column phred array, or None when the store has no ``quals`` dataset
-    (written by ``--qualities`` runs only)."""
-    per_file: List[Dict[str, "h5py.Group"]] = []
+    (written by ``--qualities`` runs only).
+
+    Reads run through h5py's LOW-LEVEL API (h5g/h5d object ids, no
+    high-level Group/Dataset wrappers): the store is thousands of tiny
+    COMPACT datasets, so wrapper construction dominated read time —
+    measured 434 -> 256 us per chunk (~1.7x), worth ~30% of single-process
+    stitch wall."""
+    from h5py import h5d, h5g, h5s
+
+    def _read(gid, name: bytes, dtype=None):
+        did = h5d.open(gid, name)
+        arr = np.empty(did.shape, dtype=did.dtype)
+        did.read(h5s.ALL, h5s.ALL, arr)
+        # position must widen to int64 (uint32-wrapped padding rows
+        # participate in sorting); bases/rles stay uint8 — rle_decode
+        # consumes them at that width
+        return arr.astype(dtype) if dtype is not None else arr
+
+    per_file: List[Tuple[Dict[str, bytes], "h5g.GroupID"]] = []
     for path in sorted(paths):
         cgrp = _contig_group(path, contig)  # cached per-thread
-        grp = cgrp[region_key]
-        per_file.append({
-            k: grp[k] for k in grp.keys()
-            if k not in ("contig_start", "contig_end")
-        })
-    names = sorted({name for chunks in per_file for name in chunks})
-    for name in names:
-        for chunks in per_file:
-            if name in chunks:
-                g = chunks[name]
+        rgid = h5g.open(cgrp.id, region_key.encode())
+        names = {}
+        for i in range(rgid.get_num_objs()):
+            bname = rgid.get_objname_by_idx(i)
+            name = bname.decode()
+            if name not in ("contig_start", "contig_end"):
+                names[name] = bname
+        per_file.append((names, rgid))
+    all_names = sorted({name for names, _ in per_file for name in names})
+    for name in all_names:
+        for names, rgid in per_file:
+            if name in names:
+                cg = h5g.open(rgid, names[name])
                 out = (
-                    # position must widen to int64 (uint32-wrapped padding
-                    # rows participate in sorting); bases/rles stay uint8 —
-                    # rle_decode consumes them at that width
-                    np.asarray(g["position"][()], dtype=np.int64),
-                    np.asarray(g["bases"][()]),
-                    np.asarray(g["rles"][()]),
+                    _read(cg, b"position", np.int64),
+                    _read(cg, b"bases"),
+                    _read(cg, b"rles"),
                 )
                 if with_quals:
-                    q = (np.asarray(g["quals"][()])
-                         if "quals" in g else None)
+                    try:
+                        q = _read(cg, b"quals")
+                    except KeyError:
+                        q = None
                     out = out + (q,)
                 yield out
                 break
