@@ -111,6 +111,39 @@ def test_consensus_resume_skips_written(pipeline_setup, tmp_path):
     assert os.path.getsize(files2[0]) == size
 
 
+def test_pipeline_depths_identical_output(pipeline_setup, tmp_path):
+    """--pipeline_depth 1 and 3 must produce byte-identical prediction
+    stores to the default depth-2 path (the pipeline reorders only WHEN
+    work happens, never what is computed or written)."""
+    import hashlib
+
+    import h5py
+
+    def store_digest(path):
+        h = hashlib.sha256()
+        with h5py.File(path, "r") as f:
+            def visit(name, obj):
+                if isinstance(obj, h5py.Dataset):
+                    h.update(name.encode())
+                    h.update(np.ascontiguousarray(obj[()]).tobytes())
+            f.visititems(visit)
+        return h.hexdigest()
+
+    digests = []
+    for depth in (1, 2, 3):
+        out_dir = str(tmp_path / f"depth{depth}")
+        files = call_consensus(
+            image_dir=pipeline_setup["image_dir"],
+            model_path=pipeline_setup["pkl"],
+            output_dir=out_dir,
+            batch_size=4,
+            num_workers=2,
+            pipeline_depth=depth,
+        )
+        digests.append(store_digest(files[0]))
+    assert digests[0] == digests[1] == digests[2]
+
+
 def test_consensus_rejects_empty_dir(tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
