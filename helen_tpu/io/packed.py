@@ -113,6 +113,12 @@ def _write_pack(tmp, ds, idx, image_config, files, with_labels, chunk_rows,
                 lb[lo:hi] = lb_buf[:k]
                 lr[lo:hi] = lr_buf[:k]
 
+        # NOTE (measured and rejected, 2026-08-21): thread-pool loading of
+        # each slab (pool.map(ds.load, slab), order-preserving) measured
+        # 23.1 s -> 28.2 s for a 9,655-image pack on the 2-vCPU dev box —
+        # with the source files page-cached, ds.load is CPU-bound numpy
+        # work under the GIL and threads only add overhead. Revisit only
+        # with a cold-storage many-core measurement showing otherwise.
         slab_lo = 0
         for j, i in enumerate(idx):
             rec = ds.load(i)
