@@ -144,5 +144,11 @@ def get_lib() -> ctypes.CDLL:
             # path, -1 resets to the HELEN_SSW_SCALAR env default
             lib.helen_ssw_set_scalar.restype = None
             lib.helen_ssw_set_scalar.argtypes = [ctypes.c_int]
+            lib.helen_banded_edit_distance.restype = ctypes.c_int64
+            lib.helen_banded_edit_distance.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.c_int64,
+            ]
             _lib = lib
     return _lib

@@ -1,0 +1,123 @@
+"""Self-contained polishing assessment: polished FASTA vs truth FASTA.
+
+The reference's assessment workflow shells out to external aligners/QUAST
+and post-processes their reports (its helper scripts — here
+tools/quast_sv_extractor.py, tools/assess_summary.py — consume those
+outputs). This tool closes the loop WITHOUT external binaries for the
+common case where a truth sequence exists per contig (synthetic validation,
+re-polishing a curated assembly): per-contig edit distance via a native
+banded Ukkonen DP (native/helen_stitch.cpp helen_banded_edit_distance —
+O(len * band) time, O(band) memory; the band doubles until the distance is
+provably exact), reported as error rate and phred Q per contig and overall.
+
+Masked-regions flow: apply ``tools.bed_mask`` to BOTH fastas first (the
+reference's GRCh38 assessment protocol, masked_regions/README.md) — masked
+columns then compare N-vs-N and cost nothing.
+
+Usage:
+  python -m helen_tpu.tools.assess_polish -t truth.fa -p polished.fa
+      [--max_band 65536] [--json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+from typing import Dict, Optional
+
+from helen_tpu.io.fasta import read_fasta
+from helen_tpu.stitch._native import get_lib
+
+
+def edit_distance(a: str, b: str, max_band: int = 1 << 20) -> Optional[int]:
+    """Exact Levenshtein distance of two near-identical sequences via the
+    native banded DP; None when the distance exceeds ``max_band`` (the
+    sequences are not near-identical — report them as unalignable rather
+    than spending O(n^2))."""
+    if a == b:
+        return 0
+    lib = get_lib()
+    ab, bb = a.encode(), b.encode()
+    band = max(16, 2 * abs(len(a) - len(b)))
+    while band <= max_band:
+        d = lib.helen_banded_edit_distance(ab, len(ab), bb, len(bb), band)
+        if d >= 0:
+            return int(d)
+        band *= 2
+    return None
+
+
+def _q(err: float, cap: float = 90.0) -> float:
+    if err <= 0:
+        return cap
+    return min(cap, -10.0 * math.log10(err))
+
+
+def assess(truth: Dict[str, str], polished: Dict[str, str],
+           max_band: int = 1 << 20) -> dict:
+    rows = []
+    total_len = total_edits = 0
+    unalignable = []
+    missing = sorted(set(truth) - set(polished))
+    extra = sorted(set(polished) - set(truth))
+    for name in sorted(set(truth) & set(polished)):
+        t, p = truth[name], polished[name]
+        d = edit_distance(t, p, max_band)
+        if d is None:
+            unalignable.append(name)
+            continue
+        err = d / max(1, len(t))
+        rows.append({
+            "contig": name, "truth_len": len(t), "polished_len": len(p),
+            "edits": d, "error_rate": err, "q": round(_q(err), 2),
+        })
+        total_len += len(t)
+        total_edits += d
+    err = total_edits / max(1, total_len)
+    return {
+        "contigs": rows,
+        "missing_contigs": missing,
+        "extra_contigs": extra,
+        "unalignable_contigs": unalignable,
+        "total_truth_bases": total_len,
+        "total_edits": total_edits,
+        "error_rate": err,
+        "q": round(_q(err), 2),
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="per-contig edit distance / error rate / Q of a "
+                    "polished FASTA against a truth FASTA")
+    ap.add_argument("-t", "--truth", required=True)
+    ap.add_argument("-p", "--polished", required=True)
+    ap.add_argument("--max_band", type=int, default=1 << 20,
+                    help="give up (report unalignable) past this edit "
+                         "distance per contig")
+    ap.add_argument("--json", action="store_true",
+                    help="print the full JSON report instead of the table")
+    args = ap.parse_args(argv)
+    truth = dict(read_fasta(args.truth))
+    polished = dict(read_fasta(args.polished))
+    report = assess(truth, polished, args.max_band)
+    if args.json:
+        print(json.dumps(report))
+    else:
+        for r in report["contigs"]:
+            print(f"{r['contig']}\t{r['truth_len']}\t{r['edits']} edits\t"
+                  f"err {r['error_rate']:.2e}\tQ{r['q']}")
+        for name in report["missing_contigs"]:
+            print(f"{name}\tMISSING from polished output")
+        for name in report["unalignable_contigs"]:
+            print(f"{name}\tUNALIGNABLE (distance > --max_band)")
+        print(f"TOTAL\t{report['total_truth_bases']}\t"
+              f"{report['total_edits']} edits\t"
+              f"err {report['error_rate']:.2e}\tQ{report['q']}")
+    return 0 if not (report["missing_contigs"]
+                     or report["unalignable_contigs"]) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

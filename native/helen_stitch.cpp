@@ -539,4 +539,52 @@ int32_t helen_rle_expand(const uint8_t* bases, const uint8_t* rles,
   return w;
 }
 
+// Banded Ukkonen edit distance (unit costs) for polishing assessment:
+// polished-vs-truth sequences are near-identical, so a diagonal band of
+// half-width `band` suffices; returns the edit distance, or -1 when the
+// true distance exceeds the band (caller doubles the band and retries).
+// Two rolling rows of 2*band+1 cells -> O(max(la,lb) * band) time,
+// O(band) memory; int64 throughout (genome-scale lengths).
+int64_t helen_banded_edit_distance(const char* a, int64_t la, const char* b,
+                                   int64_t lb, int64_t band) {
+  if (band < 1) band = 1;
+  if (la > lb) {  // ensure la <= lb so the band covers the length gap
+    const char* t = a; a = b; b = t;
+    int64_t tl = la; la = lb; lb = tl;
+  }
+  if (lb - la > band) return -1;
+  const int64_t w = 2 * band + 1;
+  const int64_t INF = INT64_MAX / 4;
+  std::vector<int64_t> prev(w, INF), cur(w, INF);
+  // row i covers columns j in [i-band, i+band]; cell k = j - (i-band)
+  for (int64_t k = 0; k <= band && k < w; ++k) prev[band + k] = k;  // row 0: d(0,j)=j
+  for (int64_t i = 1; i <= la; ++i) {
+    const int64_t jlo = i - band, jhi = i + band < lb ? i + band : lb;
+    std::fill(cur.begin(), cur.end(), INF);
+    for (int64_t j = jlo < 0 ? 0 : jlo; j <= jhi; ++j) {
+      const int64_t k = j - jlo;  // 0..w-1
+      int64_t best = INF;
+      if (j == 0) {
+        best = i;  // d(i,0) = i
+      } else {
+        // prev row's offset is (i-1)-band, one left of this row's:
+        // d(i-1, j-1) -> prev[k], d(i-1, j) -> prev[k+1], d(i, j-1) -> cur[k-1]
+        const int64_t sub = (k < w ? prev[k] : INF);
+        const int64_t del = (k + 1 < w ? prev[k + 1] : INF);
+        const int64_t ins = (k >= 1 ? cur[k - 1] : INF);
+        const int64_t m = sub + (a[i - 1] == b[j - 1] ? 0 : 1);
+        best = m;
+        if (del + 1 < best) best = del + 1;
+        if (ins + 1 < best) best = ins + 1;
+      }
+      cur[k] = best;
+    }
+    prev.swap(cur);
+  }
+  const int64_t k = lb - (la - band);
+  const int64_t d = (k >= 0 && k < w) ? prev[k] : INF;
+  if (d >= INF || d > band) return -1;  // distance not provably within band
+  return d;
+}
+
 }  // extern "C"

@@ -205,3 +205,35 @@ def test_bed_mask(tmp_path, capsys):
     seqs = dict(read_fasta(str(out)))
     assert seqs["c1"] == "ACNNNCGTNN"
     assert seqs["c2"] == "GGGG"
+
+
+def test_assess_polish(tmp_path, capsys):
+    """Native banded edit distance drives the truth-vs-polished report:
+    exact contigs Q-cap, a contig with known edits counts them exactly,
+    missing contigs exit nonzero."""
+    from helen_tpu.tools import assess_polish
+
+    truth_seq = random_sequence(20000, seed=11)
+    # 3 known edits: 1 substitution, 1 insertion, 1 deletion
+    mutated = list(truth_seq)
+    mutated[500] = "A" if mutated[500] != "A" else "C"
+    mutated.insert(10000, "G")
+    del mutated[15000]
+    mutated = "".join(mutated)
+    assert assess_polish.edit_distance(truth_seq, mutated) == 3
+    assert assess_polish.edit_distance(truth_seq, truth_seq) == 0
+    # unalignable: completely different sequence within a small band
+    assert assess_polish.edit_distance("A" * 3000, "T" * 3000,
+                                       max_band=64) is None
+
+    truth_fa = tmp_path / "truth.fa"
+    truth_fa.write_text(f">c1\n{truth_seq}\n>c2\n{truth_seq}\n>gone\nACGT\n")
+    pol_fa = tmp_path / "polished.fa"
+    pol_fa.write_text(f">c1\n{truth_seq}\n>c2\n{mutated}\n")
+    rc = assess_polish.main(["-t", str(truth_fa), "-p", str(pol_fa)])
+    out = capsys.readouterr().out
+    assert rc == 1  # 'gone' missing
+    assert "c1\t20000\t0 edits" in out
+    assert "c2\t20000\t3 edits" in out
+    assert "gone\tMISSING" in out
+    assert "TOTAL\t40000\t3 edits" in out
