@@ -53,7 +53,22 @@ def main() -> int:
     # and a deliberately undersized buffer must return -1, not overflow
     small = ctypes.create_string_buffer(4)
     assert lib.helen_rle_expand(bases, rles, len(bases), small, 4) == -1
-    print(f"asan smoke: {len(cases)} alignments + rle expansion clean")
+    # banded edit distance: exercise band edges, the swap branch, empty
+    # inputs, and the -1 (distance exceeds band) path under ASAN
+    lib.helen_banded_edit_distance.restype = ctypes.c_int64
+    lib.helen_banded_edit_distance.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int64,
+    ]
+    ed_cases = [(a, b, band) for (a, b) in cases[:50] for band in (1, 4, 512)]
+    ed_cases += [("", "", 8), ("", "ACGT", 8), ("ACGT" * 100, "ACGT" * 90, 2)]
+    for a, b, band in ed_cases:
+        d = lib.helen_banded_edit_distance(
+            a.encode(), len(a), b.encode(), len(b), band)
+        assert d >= -1 and d <= max(len(a), len(b))
+    assert lib.helen_banded_edit_distance(b"AAAA", 4, b"TTTT", 4, 512) == 4
+    print(f"asan smoke: {len(cases)} alignments + rle expansion + "
+          f"{len(ed_cases)} edit distances clean")
     return 0
 
 
