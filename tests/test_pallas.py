@@ -446,3 +446,40 @@ def test_stacked_transducer_train_kernel_grads_interpret():
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-3, err_msg=str(k))
+
+
+def test_engaged_kernel_matches_dispatch_predicate():
+    """engaged_kernel must report exactly what forward dispatches: both go
+    through _inproj_route (a r4 self-review finding — a hand-duplicated
+    predicate let bench/validation records diverge from reality)."""
+    import jax
+    from jax import lax
+
+    from helen_tpu.config import ModelConfig
+    from helen_tpu.models.transducer import (
+        _inproj_route,
+        engaged_kernel,
+        init_params,
+        model_geometry,
+    )
+
+    p = init_params(jax.random.PRNGKey(0))
+    geom = model_geometry(p)
+    assert _inproj_route(geom, None)
+    assert engaged_kernel(p, "pallas") == "pallas_inproj"
+    assert engaged_kernel(p, "pallas_fast") == "pallas_fast_inproj"
+    assert engaged_kernel(p, "xla") == "xla"
+    # an explicit precision ABOVE HIGH skips the inproj route (its GRU
+    # projections always run bf16x3 == HIGH) — ADVICE r3
+    assert not _inproj_route(geom, lax.Precision.HIGHEST)
+    assert engaged_kernel(p, "pallas",
+                          precision=lax.Precision.HIGHEST) == "pallas_xp"
+    # wide-input geometry (D > 2H): the input-width-aware VMEM estimate
+    # must gate BOTH the dispatch and the report identically
+    from helen_tpu.ops.gru_pallas import inproj_fits_vmem
+
+    wide = ModelConfig(input_features=4096)
+    assert _inproj_route(wide, None) == inproj_fits_vmem(
+        wide.hidden_size, d=wide.input_features)
+    with pytest.raises(ValueError):
+        engaged_kernel(p, "auto")
