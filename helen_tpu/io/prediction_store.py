@@ -316,9 +316,15 @@ def _region_span_from_key(region_key: str, contig: str) -> "Optional[Tuple[int, 
     if not region_key.startswith(prefix):
         return None
     parts = region_key[len(prefix):].split("-")
-    if len(parts) != 2 or not (parts[0].isdigit() and parts[1].isdigit()):
+    if len(parts) != 2:
         return None
-    return int(parts[0]), int(parts[1])
+    try:
+        # try/except, not isdigit(): Unicode digit-CLASS characters (e.g.
+        # superscripts) pass isdigit() yet crash int(), which would turn
+        # the documented dataset-read fallback into a stitch abort
+        return int(parts[0]), int(parts[1])
+    except ValueError:
+        return None
 
 
 def list_region_keys(

@@ -39,13 +39,18 @@ def edit_distance(a: str, b: str, max_band: int = 1 << 20) -> Optional[int]:
         return 0
     lib = get_lib()
     ab, bb = a.encode(), b.encode()
-    band = max(16, 2 * abs(len(a) - len(b)))
-    while band <= max_band:
+    # the band sequence is CLAMPED to end exactly at max_band so every
+    # distance <= max_band is findable (a doubling-only sequence would
+    # skip the (last_power_of_2, max_band] range, and a length gap with
+    # 2*gap > max_band would skip the search entirely)
+    band = min(max(16, 2 * abs(len(a) - len(b))), max_band)
+    while True:
         d = lib.helen_banded_edit_distance(ab, len(ab), bb, len(bb), band)
         if d >= 0:
             return int(d)
-        band *= 2
-    return None
+        if band >= max_band:
+            return None
+        band = min(band * 2, max_band)
 
 
 def _q(err: float, cap: float = 90.0) -> float:
@@ -110,6 +115,8 @@ def main(argv=None) -> int:
                   f"err {r['error_rate']:.2e}\tQ{r['q']}")
         for name in report["missing_contigs"]:
             print(f"{name}\tMISSING from polished output")
+        for name in report["extra_contigs"]:
+            print(f"{name}\tEXTRA in polished output (no truth sequence)")
         for name in report["unalignable_contigs"]:
             print(f"{name}\tUNALIGNABLE (distance > --max_band)")
         print(f"TOTAL\t{report['total_truth_bases']}\t"

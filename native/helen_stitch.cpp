@@ -561,6 +561,7 @@ int64_t helen_banded_edit_distance(const char* a, int64_t la, const char* b,
   for (int64_t i = 1; i <= la; ++i) {
     const int64_t jlo = i - band, jhi = i + band < lb ? i + band : lb;
     std::fill(cur.begin(), cur.end(), INF);
+    int64_t row_min = INF;
     for (int64_t j = jlo < 0 ? 0 : jlo; j <= jhi; ++j) {
       const int64_t k = j - jlo;  // 0..w-1
       int64_t best = INF;
@@ -578,7 +579,13 @@ int64_t helen_banded_edit_distance(const char* a, int64_t la, const char* b,
         if (ins + 1 < best) best = ins + 1;
       }
       cur[k] = best;
+      if (best < row_min) row_min = best;
     }
+    // early-out: DP values never decrease along any path, so once every
+    // in-band cell exceeds `band` the answer cannot come back under it —
+    // without this, a genuinely divergent pair costs the FULL O(len*band)
+    // at every band doubling before the caller learns -1
+    if (row_min > band) return -1;
     prev.swap(cur);
   }
   const int64_t k = lb - (la - band);

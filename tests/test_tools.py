@@ -225,15 +225,21 @@ def test_assess_polish(tmp_path, capsys):
     # unalignable: completely different sequence within a small band
     assert assess_polish.edit_distance("A" * 3000, "T" * 3000,
                                        max_band=64) is None
+    # the band sequence clamps to END at max_band (r4 review): a distance
+    # in (last_power_of_2, max_band] and a length gap with 2*gap > max_band
+    # must both still be found
+    assert assess_polish.edit_distance("A" * 1000, "A" * 1100,
+                                       max_band=150) == 100
 
     truth_fa = tmp_path / "truth.fa"
     truth_fa.write_text(f">c1\n{truth_seq}\n>c2\n{truth_seq}\n>gone\nACGT\n")
     pol_fa = tmp_path / "polished.fa"
-    pol_fa.write_text(f">c1\n{truth_seq}\n>c2\n{mutated}\n")
+    pol_fa.write_text(f">c1\n{truth_seq}\n>c2\n{mutated}\n>novel\nACGT\n")
     rc = assess_polish.main(["-t", str(truth_fa), "-p", str(pol_fa)])
     out = capsys.readouterr().out
     assert rc == 1  # 'gone' missing
     assert "c1\t20000\t0 edits" in out
     assert "c2\t20000\t3 edits" in out
     assert "gone\tMISSING" in out
+    assert "novel\tEXTRA" in out
     assert "TOTAL\t40000\t3 edits" in out
