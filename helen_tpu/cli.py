@@ -163,6 +163,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eta", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
 
+    p = sub.add_parser("assess", help="polished-vs-truth error rate / Q "
+                       "(native banded edit distance; helen_tpu extension)")
+    p.add_argument("-t", "--truth", required=True)
+    p.add_argument("-p", "--polished", required=True)
+    p.add_argument("--max_band", type=int, default=1 << 20)
+    p.add_argument("--json", action="store_true")
+
     sub.add_parser("devices", help="show JAX devices and platform info (reference: torch_stat)")
     sub.add_parser("version", help="print version")
     return parser
@@ -217,6 +224,15 @@ def main(argv=None) -> int:
 
         print(f"helen_tpu {__version__}")
         return 0
+
+    if args.command == "assess":
+        from helen_tpu.tools.assess_polish import main as assess_main
+
+        return assess_main(
+            ["-t", args.truth, "-p", args.polished,
+             "--max_band", str(args.max_band)]
+            + (["--json"] if args.json else [])
+        )
 
     if args.command == "devices":
         cmd_devices()

@@ -125,3 +125,17 @@ def test_module_invocation():
     )
     assert proc.returncode == 0
     assert "helen_tpu" in proc.stdout
+
+
+def test_cli_assess(tmp_path, capsys):
+    from helen_tpu.cli import main
+    from helen_tpu.io.synthetic import random_sequence
+
+    seq = random_sequence(5000, seed=3)
+    truth = tmp_path / "t.fa"
+    truth.write_text(f">c\n{seq}\n")
+    pol = tmp_path / "p.fa"
+    pol.write_text(f">c\n{seq}\n")
+    assert main(["assess", "-t", str(truth), "-p", str(pol)]) == 0
+    out = capsys.readouterr().out
+    assert "TOTAL\t5000\t0 edits" in out
