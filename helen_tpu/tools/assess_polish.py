@@ -11,8 +11,14 @@ O(len * band) time, O(band) memory; the band doubles until the distance is
 provably exact), reported as error rate and phred Q per contig and overall.
 
 Masked-regions flow: apply ``tools.bed_mask`` to BOTH fastas first (the
-reference's GRCh38 assessment protocol, masked_regions/README.md) — masked
-columns then compare N-vs-N and cost nothing.
+reference's GRCh38 assessment protocol, masked_regions/README.md). Caveat:
+the BED coordinates are truth-space; indels upstream of a masked interval
+shift the polished sequence relative to it, so a handful of edits can leak
+across mask boundaries — at polishing-grade divergence (~1e-4) the leak is
+a few bases per interval, fine for Q-value reporting, but for an exact
+masked count use an alignment-based pipeline (the reference's QUAST flow,
+whose reports tools/quast_sv_extractor.py and tools/assess_summary.py
+consume).
 
 Usage:
   python -m helen_tpu.tools.assess_polish -t truth.fa -p polished.fa
