@@ -318,13 +318,15 @@ def _region_span_from_key(region_key: str, contig: str) -> "Optional[Tuple[int, 
     parts = region_key[len(prefix):].split("-")
     if len(parts) != 2:
         return None
-    try:
-        # try/except, not isdigit(): Unicode digit-CLASS characters (e.g.
-        # superscripts) pass isdigit() yet crash int(), which would turn
-        # the documented dataset-read fallback into a stitch abort
-        return int(parts[0]), int(parts[1])
-    except ValueError:
+    # strict ASCII digits only: bare int() also accepts signs, whitespace
+    # and underscore separators (int('1_0') == 10), so a third-party name
+    # like 'chr1-1_0-2_0' would parse "successfully" to a WRONG span
+    # instead of taking the documented dataset-read fallback. isascii()
+    # first because Unicode digit-CLASS characters (e.g. superscripts)
+    # pass isdigit() yet crash int().
+    if not all(p.isascii() and p.isdigit() for p in parts):
         return None
+    return int(parts[0]), int(parts[1])
 
 
 def list_region_keys(

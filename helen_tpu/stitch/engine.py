@@ -460,7 +460,11 @@ class Stitcher:
                                     "in-process", exc)
                         failed_groups.append(g)
                 # a failed worker must never silently shrink the output —
-                # retry its group here and let real errors propagate
+                # retry its group here, IN-PROCESS (a direct call, not
+                # ex.submit: pool spawns happen only at submit time, so
+                # keeping the retry out of the pool means no worker can
+                # ever spawn outside the lean_worker_env window above),
+                # and let real errors propagate
                 for g in failed_groups:
                     results.append(
                         _stitch_key_group(contig, g, self.cfg, self.with_quality)

@@ -40,11 +40,17 @@ def edit_distance(a: str, b: str, max_band: int = 1 << 20) -> Optional[int]:
     """Exact Levenshtein distance of two near-identical sequences via the
     native banded DP; None when the distance exceeds ``max_band`` (the
     sequences are not near-identical — report them as unalignable rather
-    than spending O(n^2))."""
-    if a == b:
-        return 0
+    than spending O(n^2)).
+
+    Comparison is case-insensitive: truth references are commonly
+    soft-masked (lowercase repeats, e.g. GRCh38 releases) while polished
+    output is uppercase; counting case differences as edits would inflate
+    error rates by the soft-masked fraction. The reference's QUAST/aligner
+    assessment is likewise case-insensitive."""
     lib = get_lib()
-    ab, bb = a.encode(), b.encode()
+    ab, bb = a.upper().encode(), b.upper().encode()
+    if ab == bb:
+        return 0
     # the band sequence is CLAMPED to end exactly at max_band so every
     # distance <= max_band is findable (a doubling-only sequence would
     # skip the (last_power_of_2, max_band] range, and a length gap with

@@ -241,3 +241,22 @@ def test_dataset_names_incomplete_group(tmp_path):
     ds = MarginPolishDataset([path])
     with pytest.raises(KeyError, match="missing.h5.*img0"):
         ds.load(0)
+
+
+def test_region_span_from_key_strict_digits():
+    """Only strict-ASCII-digit '{contig}-{start}-{end}' names parse; names
+    that bare int() would 'successfully' misparse (underscores, signs,
+    whitespace, unicode digit-class) must return None so the caller takes
+    the dataset-read fallback (r4 advisor)."""
+    from helen_tpu.io.prediction_store import _region_span_from_key
+
+    assert _region_span_from_key("chr1-100-200", "chr1") == (100, 200)
+    assert _region_span_from_key("chr1-0-0", "chr1") == (0, 0)
+    # int('1_0') == 10 — must NOT parse to (10, 20)
+    assert _region_span_from_key("chr1-1_0-2_0", "chr1") is None
+    assert _region_span_from_key("chr1-+100-200", "chr1") is None
+    assert _region_span_from_key("chr1--100-200", "chr1") is None
+    assert _region_span_from_key("chr1- 100-200", "chr1") is None
+    assert _region_span_from_key("chr1-²-3", "chr1") is None  # superscript 2
+    assert _region_span_from_key("chr1-100", "chr1") is None
+    assert _region_span_from_key("chr2-100-200", "chr1") is None

@@ -230,6 +230,12 @@ def test_assess_polish(tmp_path, capsys):
     # must both still be found
     assert assess_polish.edit_distance("A" * 1000, "A" * 1100,
                                        max_band=150) == 100
+    # case-insensitive (r4 advisor): soft-masked truth (lowercase repeats,
+    # GRCh38-style) vs uppercase polished output must not count case
+    # differences as edits
+    soft_masked = truth_seq[:5000].lower() + truth_seq[5000:]
+    assert assess_polish.edit_distance(soft_masked, truth_seq) == 0
+    assert assess_polish.edit_distance(soft_masked, mutated) == 3
 
     truth_fa = tmp_path / "truth.fa"
     truth_fa.write_text(f">c1\n{truth_seq}\n>c2\n{truth_seq}\n>gone\nACGT\n")
