@@ -122,8 +122,16 @@ def make_sharded_consensus_fn(mesh, precision=None, gru_layers: int = 1,
                               params=None) -> Callable:
     """Jit the flagship inference step (full-image windowed vote) over the
     mesh: batch on "data", params tensor-sharded on "model". Pass ``params``
-    (preferred) to derive layer geometry from the pytree."""
+    (preferred) to derive layer geometry from the pytree.
+
+    Accepts ANY batch size: a P("data") input sharding requires the batch
+    to divide evenly across the data axis (GSPMD refuses uneven input
+    shards), so batches that are not a multiple are zero-padded up and the
+    outputs sliced back — the same pad-and-mask contract call_consensus
+    uses host-side (its eff_batch round-up). One compiled program per
+    PADDED batch size."""
     import jax
+    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from helen_tpu.config import WINDOW
@@ -141,8 +149,22 @@ def make_sharded_consensus_fn(mesh, precision=None, gru_layers: int = 1,
         # kernel as exact bf16; non-pallas backends cast inside consensus_*
         return consensus_labels(params, images_u8, WINDOW, precision=precision)
 
-    return jax.jit(
+    jfn = jax.jit(
         fn,
         in_shardings=(param_sh, batch_sh),
         out_shardings=(batch_sh, batch_sh),
     )
+    dp = int(mesh.shape["data"])
+
+    def call(params, images_u8):
+        b = images_u8.shape[0]
+        pad = (-b) % dp
+        if pad:
+            images_u8 = jnp.concatenate(
+                [jnp.asarray(images_u8),
+                 jnp.zeros((pad,) + tuple(images_u8.shape[1:]),
+                           dtype=images_u8.dtype)])
+        out = jfn(params, images_u8)
+        return tuple(o[:b] for o in out) if pad else out
+
+    return call

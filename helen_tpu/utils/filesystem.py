@@ -38,8 +38,16 @@ def _list_with_suffixes(directory: str, suffixes: Sequence[str]) -> List[str]:
 
 
 def list_image_files(directory: str) -> List[str]:
-    """All MarginPolish image files (*.h5) in a directory, sorted."""
-    return _list_with_suffixes(directory, (".h5", ".hdf5"))
+    """All MarginPolish image files (*.h5) in a directory, sorted.
+
+    Packed image caches (names containing ``images_cache`` — io.packed's
+    naming across the single-host, per-host and train variants) are
+    excluded: pointing ``cache_dir`` at the image directory must not feed
+    the cache back in as an input image file on the next listing."""
+    return [
+        f for f in _list_with_suffixes(directory, (".h5", ".hdf5"))
+        if "images_cache" not in os.path.basename(f)
+    ]
 
 
 def list_prediction_files(directory: str) -> List[str]:

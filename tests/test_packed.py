@@ -178,3 +178,18 @@ def test_train_pack_matches_unpacked(tmp_path):
     loss_p2, _ = run(True, "packed2")
     assert cache.stat().st_mtime == mtime
     assert loss_p2 == loss_p
+
+
+def test_cache_in_image_dir_not_listed_as_input(tmp_path):
+    """A packed cache placed INSIDE the image directory (cache_dir pointed
+    at it) must not be picked up as an input image file by the next
+    listing (r5: bench.py did exactly this and consensus consumed the
+    cache as a 5th image file)."""
+    from helen_tpu.utils.filesystem import list_image_files
+
+    (tmp_path / "real.h5").write_bytes(b"")
+    (tmp_path / "images_cache.h5").write_bytes(b"")
+    (tmp_path / "images_cache_3.h5").write_bytes(b"")
+    (tmp_path / "train_images_cache.h5").write_bytes(b"")
+    files = list_image_files(str(tmp_path))
+    assert [os.path.basename(f) for f in files] == ["real.h5"]
