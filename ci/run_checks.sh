@@ -57,8 +57,44 @@ d = json.load(open("SCALING_CPU.json"))
 rows = d["rows"]
 assert [r["devices"] for r in rows] == [1, 2, 4, 8]
 ratio = d["meta"]["aggregate_ratio"]
-assert ratio >= 0.5, f"8-device aggregate fell to {ratio} of 1-device"
+# bound derived from the recorded curve (VERDICT r4 weak #2): the r4/r5
+# artifacts measured 2.87 (8-device aggregate vs 1-device — sharding
+# exposes more thread-level parallelism on this box); 1.0 still allows
+# heavy relay/CPU weather while catching any real sharding regression,
+# which the old 0.5 gate (a 50% regression passing) did not
+assert ratio >= 1.0, f"8-device aggregate fell to {ratio} of 1-device"
 print(f"scaling artifact OK: aggregate_ratio={ratio}")
+EOF
+
+echo "== sharding-overhead artifact (identical total work) =="
+# isolates partition+psum cost from core oversubscription: sharded vs
+# unsharded step at the SAME global batch on the same cores — the number
+# the >=85% multi-chip scaling story needs bounded (VERDICT r4 weak #2;
+# analytic ICI budget in docs/multihost.md)
+XLA_FLAGS="--xla_force_host_platform_device_count=8 ${XLA_FLAGS:-}" \
+python - <<'EOF'
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys
+from helen_tpu.tools.sharding_overhead import main
+sys.exit(main(["-b", "2", "--steps", "3", "--devices", "2,4,8",
+               "--json_out", "SHARDING_OVERHEAD.json"]))
+EOF
+python - <<'EOF'
+import json
+d = json.load(open("SHARDING_OVERHEAD.json"))
+t = d["meta"]["mean_train_overhead"]
+c = d["meta"]["mean_consensus_overhead"]
+# recorded curve: per-point train overhead swings -26%..+32% at n=4 from
+# 2-vCPU scheduler noise (both signs — no systematic cost), so the gate
+# is the MEAN across device counts, where noise cancels: recorded means
+# ~0.03 (train) and ~-0.33 (consensus is NEGATIVE: per-shard programs
+# parallelize better). A real collective/partition regression (e.g. an
+# accidental all-gather of the batch) lifts every point and lands far
+# above 0.20.
+assert t <= 0.20, f"mean train sharding overhead {t} exceeds 0.20"
+assert c <= 0.20, f"mean consensus sharding overhead {c} exceeds 0.20"
+print(f"sharding overhead OK: mean train={t}, mean consensus={c}")
 EOF
 
 echo "ALL CHECKS PASSED"
