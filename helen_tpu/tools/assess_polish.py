@@ -10,15 +10,14 @@ banded Ukkonen DP (native/helen_stitch.cpp helen_banded_edit_distance —
 O(len * band) time, O(band) memory; the band doubles until the distance is
 provably exact), reported as error rate and phred Q per contig and overall.
 
-Masked-regions flow: apply ``tools.bed_mask`` to BOTH fastas first (the
-reference's GRCh38 assessment protocol, masked_regions/README.md). Caveat:
-the BED coordinates are truth-space; indels upstream of a masked interval
-shift the polished sequence relative to it, so a handful of edits can leak
-across mask boundaries — at polishing-grade divergence (~1e-4) the leak is
-a few bases per interval, fine for Q-value reporting, but for an exact
-masked count use an alignment-based pipeline (the reference's QUAST flow,
-whose reports tools/quast_sv_extractor.py and tools/assess_summary.py
-consume).
+Masked-regions flow (the reference's GRCh38 assessment protocol,
+masked_regions/README.md): mask the polished FASTA with
+``tools.bed_mask --anchor_truth truth.fa --truth_out truth_masked.fa`` —
+the BED coordinates are truth-space, so the polished side is masked by
+SSW-ANCHORING each interval's truth flanks in polished space (exact under
+indels upstream of an interval; plain coordinate masking would let edits
+leak across mask boundaries as the sequences drift) — then assess the two
+masked outputs with this tool.
 
 Usage:
   python -m helen_tpu.tools.assess_polish -t truth.fa -p polished.fa

@@ -249,3 +249,63 @@ def test_assess_polish(tmp_path, capsys):
     assert "gone\tMISSING" in out
     assert "novel\tEXTRA" in out
     assert "TOTAL\t40000\t3 edits" in out
+
+
+def test_anchored_bed_mask_invariant_under_upstream_indels(tmp_path):
+    """SSW-anchored masking (r5, VERDICT r4 item 7): the masked-assessment
+    edit count must be IDENTICAL with and without indels upstream of the
+    masked interval — coordinate masking drifts, anchored masking tracks
+    the sequence."""
+    from helen_tpu.io.fasta import read_fasta
+    from helen_tpu.tools import assess_polish, bed_mask
+
+    truth_seq = random_sequence(12000, seed=42)
+    bed = tmp_path / "mask.bed"
+    bed.write_text("ctg\t5000\t6000\n")
+    truth_fa = tmp_path / "truth.fa"
+    truth_fa.write_text(f">ctg\n{truth_seq}\n")
+
+    def polish_variant(upstream_indels: bool) -> str:
+        s = list(truth_seq)
+        # 3 real edits INSIDE the masked interval (must vanish from the
+        # masked count) and 2 real edits OUTSIDE it (must always count)
+        for pos in (5200, 5500, 5800):
+            s[pos] = "A" if s[pos] != "A" else "C"
+        s[2000] = "A" if s[2000] != "A" else "C"
+        s[8000] = "A" if s[8000] != "A" else "C"
+        if upstream_indels:
+            # net +37 bases upstream of the interval: shifts every
+            # downstream coordinate, the exact failure mode of
+            # coordinate masking
+            s[3000:3000] = list("G" * 40)
+            del s[1000:1003]
+        return "".join(s)
+
+    counts = {}
+    for tag in ("plain", "indel"):
+        pol_fa = tmp_path / f"pol_{tag}.fa"
+        pol_fa.write_text(f">ctg\n{polish_variant(tag == 'indel')}\n")
+        pol_masked = tmp_path / f"pol_{tag}_masked.fa"
+        truth_masked = tmp_path / f"truth_{tag}_masked.fa"
+        stats = bed_mask.anchored_mask_fasta(
+            str(pol_fa), str(truth_fa), str(bed), str(pol_masked),
+            out_truth=str(truth_masked))
+        assert stats["anchored"] == 1 and stats["fallback"] == 0
+        report = assess_polish.assess(
+            dict(read_fasta(str(truth_masked))),
+            dict(read_fasta(str(pol_masked))))
+        counts[tag] = report["total_edits"]
+    # 2 outside edits + the indels themselves count; the 3 masked-interval
+    # edits never do, and the count is invariant modulo the indels' own
+    # contribution (43 = 40 ins + 3 del)
+    assert counts["plain"] == 2
+    assert counts["indel"] == 2 + 43
+
+    # CLI surface
+    out = tmp_path / "cli_masked.fa"
+    rc = bed_mask.main(["-i", str(tmp_path / "pol_indel.fa"), "-b", str(bed),
+                        "-o", str(out), "--anchor_truth", str(truth_fa)])
+    assert rc == 0
+    masked_seq = dict(read_fasta(str(out)))["ctg"]
+    # exactly the interval's span is masked, wherever it landed
+    assert masked_seq.count("N") == 1000
