@@ -102,6 +102,7 @@ def test_onnxruntime_cross_check(tmp_path):
     evaluator. Skips where onnxruntime isn't installed; anywhere it is,
     this closes the interop claim end-to-end: onnxruntime session ==
     run_onnx == jax forward on the same input_image/input_hidden feeds."""
+    # tracked evidence gap #3 (docs/evidence_gaps.md) where the wheel is absent
     ort = pytest.importorskip("onnxruntime")
     params = _params(hidden=48, layers=2, seed=3)
     path = export_onnx(params, str(tmp_path / "m.onnx"), seq_len=20)

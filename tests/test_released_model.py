@@ -35,7 +35,8 @@ def released_pkl(tmp_path_factory):
         pytest.skip(
             "released-model validation is opt-in: set HELEN_MODEL_PKL to a "
             "published checkpoint, or HELEN_ALLOW_NETWORK=1 to download one "
-            "from the reference manifest"
+            "from the reference manifest (tracked evidence gap #2, "
+            "docs/evidence_gaps.md)"
         )
     from helen_tpu.io.download import download_models
 
