@@ -447,16 +447,27 @@ def resolve_backend(requested, kind: str, log=None, params=None) -> str:
     parity inference path.
 
     When ``params`` is given, Pallas backends additionally require a
-    lane-width-multiple hidden size (H % 128 == 0 — gate slices must land
-    on 128-aligned lane offsets; block shapes scale with H) AND a geometry
-    whose grid-constant weight blocks fit the per-core VMEM budget (the
-    O(H^2) blocks outgrow the conservative 16 MiB floor around H=768 for
-    inference and H=384 for the train kernels; 128 MiB generations like
-    v5e admit much larger H — see ops.gru_pallas.vmem_budget_bytes /
-    infer_vmem_bytes / ops.gru_pallas_train.train_vmem_bytes); other
-    hidden sizes fall back to the lax.scan path with a log line. Layer
-    count does not matter: the fused kernels run per window per layer,
-    whatever the stack depth.
+    geometry whose grid-constant weight blocks fit the per-core VMEM
+    budget (the O(H^2) blocks outgrow the conservative 16 MiB floor
+    around H=768 for inference and H=384 for the train kernels; 128 MiB
+    generations like v5e admit much larger H — see
+    ops.gru_pallas.vmem_budget_bytes / infer_vmem_bytes /
+    ops.gru_pallas_train.train_vmem_bytes); geometries past the budget
+    fall back to the lax.scan path with a log line. The INFERENCE kernels
+    serve ANY hidden size — off-lane-grid H (H % 128 != 0) runs
+    zero-padded to the next 128 multiple, bit-identical on the real lanes
+    (ops.gru_pallas._pad_dir_params), with the VMEM estimate taken at the
+    padded width. Whether padding is the FASTER dispatch depends on lane
+    utilization h/pad128(h) — measured on v5e at B=1024 (parity tier):
+    padded pallas ~143K w/s across the 129..256 band vs the fp32(HIGH)
+    xla scan at 170K (H=160, util 0.625) / 116K (H=192, util 0.75) /
+    116K (H=224) — so the PARITY backend pads only at utilization >=
+    0.75 and falls back to xla below it, while PALLAS_FAST always pads
+    (304K at H=160 vs the 170K parity-grade scan, 1.8x at the worst
+    utilization). The TRAIN kernels still require H % 128 == 0 (the
+    backward pass slices gate blocks in ways padding does not yet
+    cover). Layer count does not matter: the fused kernels run per
+    window per layer, whatever the stack depth.
     """
     import jax
 
@@ -480,12 +491,24 @@ def resolve_backend(requested, kind: str, log=None, params=None) -> str:
         resolved = requested
     if resolved != "xla" and params is not None:
         h = model_geometry(params).hidden_size
-        if h % 128 != 0:
+        if kind == "train" and h % 128 != 0:
             if log is not None:
                 log.warning(
                     "backend %r needs hidden_size %% 128 == 0 (model has %d); "
                     "falling back to 'xla'", resolved, h)
             return "xla"
+        if resolved == "pallas" and h % 128 != 0:
+            hp = -(-h // 128) * 128
+            if h / hp < 0.75:
+                # measured on v5e (docstring): below 75% lane utilization
+                # the padded parity kernel loses to the fp32(HIGH) scan
+                if log is not None:
+                    log.info(
+                        "hidden_size %d pads to %d lanes (%.0f%% utilization"
+                        " < 75%%): the fp32(HIGH) xla scan measures faster "
+                        "than the padded parity kernel; using 'xla'",
+                        h, hp, 100.0 * h / hp)
+                return "xla"
         # the kernels hold O(h^2) grid-constant weight blocks in VMEM; past
         # a hidden size Mosaic cannot fit them and the compile would fail
         # mid-job — fall back to the lax.scan path instead

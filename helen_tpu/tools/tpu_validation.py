@@ -12,7 +12,8 @@ at the repo root is the committed artifact):
     contract, independently lowered — label agreement localizes a Mosaic
     regression to one family;
   * fast tier vs parity: vote delta bound (bf16 recurrence);
-  * stacked 2-layer and H=256 geometries through the pallas path vs xla;
+  * stacked 2-layer, H=256, and off-lane-grid H=160 (zero-padded serving,
+    r5) geometries through the pallas path vs xla;
   * fused training kernel: loss + grad agreement vs the lax.scan VJP.
 
 Exits nonzero if any check fails its bound, so it can gate a deploy.
@@ -150,10 +151,13 @@ def run(batch: int = 64) -> dict:
           and fl_k <= n_labels * 1e-4,
           max_vote_delta=d_kernels, label_flips=fl_k, labels=2 * n_labels)
 
-    # ---- generalized geometries on-chip: stacked 2-layer and H=256
+    # ---- generalized geometries on-chip: stacked 2-layer, H=256, and the
+    # OFF-lane-grid H=160 (the vendored golden_h160 geometry — served by
+    # the zero-padded kernels since r5; VERDICT r4 weak #4)
     for name, cfg in (
         ("geom_l2_h128", ModelConfig(gru_layers=2)),
         ("geom_h256", ModelConfig(hidden_size=256)),
+        ("geom_h160_padded", ModelConfig(hidden_size=160)),
     ):
         p2 = jax.device_put(init_params(jax.random.PRNGKey(1), cfg))
 

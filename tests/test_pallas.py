@@ -25,11 +25,13 @@ def test_pick_block():
 
 
 @pytest.mark.parametrize(
-    "T,B,D,H", [(8, 16, 90, 128), (5, 8, 256, 128), (5, 8, 90, 256)]
+    "T,B,D,H", [(8, 16, 90, 128), (5, 8, 256, 128), (5, 8, 90, 256),
+                (5, 8, 90, 160)]
 )
 def test_fused_matches_scan_interpret(T, B, D, H):
     """Infer-kernel parity vs lax.scan, incl. a non-flagship hidden size
-    (H=256) — the kernels serve any lane-width multiple, not just 128."""
+    (H=256) and an OFF-lane-grid one (H=160, served zero-padded to 256
+    with outputs sliced back — r5)."""
     params = jax.tree_util.tree_map(
         jnp.asarray, bigru_init(jax.random.PRNGKey(0), D, H)
     )
@@ -47,12 +49,13 @@ def test_fused_matches_scan_interpret(T, B, D, H):
 
 
 @pytest.mark.parametrize(
-    "T,B,D,H", [(8, 16, 90, 128), (5, 8, 256, 128), (5, 8, 90, 256)]
+    "T,B,D,H", [(8, 16, 90, 128), (5, 8, 256, 128), (5, 8, 90, 256),
+                (5, 8, 90, 160)]
 )
 def test_inproj_single_matches_scan_interpret(T, B, D, H):
     """In-kernel-projection single-stream kernel vs lax.scan (f32 input:
-    full in-kernel bf16x3 projection), incl. a padded feature dim (90->128)
-    and a non-flagship hidden size."""
+    full in-kernel bf16x3 projection), incl. a padded feature dim (90->128),
+    a non-flagship hidden size, and an off-lane-grid H=160 (zero-padded)."""
     from helen_tpu.ops.gru_pallas import bigru_apply_inproj
 
     params = jax.tree_util.tree_map(
@@ -134,13 +137,15 @@ def test_inproj_exact_uint8_two_pass_matches_three_pass_bitwise():
     np.testing.assert_array_equal(np.asarray(three_pass), np.asarray(two_pass))
 
 
-def test_inproj_pair_matches_scan_interpret():
+@pytest.mark.parametrize("H", [128, 160])
+def test_inproj_pair_matches_scan_interpret(H):
     """Pair-stream kernel (decoder / stacked layers): consuming the previous
     layer's (out_f, out_b) halves must match the scan bi-GRU on their
-    concatenation."""
+    concatenation — incl. off-lane-grid H=160, where the pair path pads
+    each input half's weight rows separately (r5)."""
     from helen_tpu.ops.gru_pallas import bigru_apply_inproj
 
-    T, B, H = 6, 8, 128
+    T, B = 6, 8
     params = jax.tree_util.tree_map(
         jnp.asarray, bigru_init(jax.random.PRNGKey(8), 2 * H, H)
     )
@@ -289,9 +294,10 @@ def test_resolve_backend_validation():
 
 
 def test_resolve_backend_geometry_gate(monkeypatch):
-    """On TPU, Pallas backends serve any hidden_size % 128 == 0 geometry;
-    other hidden sizes fall back to xla (resolve_backend gates on the model
-    geometry recovered from the params pytree)."""
+    """On TPU, the INFERENCE Pallas backends serve any hidden size — off-
+    lane-grid H runs zero-padded (r5); the TRAIN kernels still require
+    H % 128 == 0 and fall back to xla otherwise (resolve_backend gates on
+    the model geometry recovered from the params pytree)."""
     import dataclasses
 
     from helen_tpu.config import MODEL
@@ -311,7 +317,19 @@ def test_resolve_backend_geometry_gate(monkeypatch):
     assert resolve_backend("pallas", "infer", params=p128) == "pallas"
     assert resolve_backend("pallas", "infer", params=p256) == "pallas"
     assert resolve_backend("pallas_train", "train", params=p256) == "pallas_train"
-    assert resolve_backend("pallas", "infer", params=p100) == "xla"
+    # inference: lane-padded serving (estimated at the padded width).
+    # H=100 pads to 128 at 78% utilization -> padded pallas wins
+    assert resolve_backend("pallas", "infer", params=p100) == "pallas"
+    # H=160 pads to 256 at 62.5% utilization: the measured v5e curve has
+    # the fp32(HIGH) scan FASTER than the padded parity kernel there
+    # (170K vs 144K w/s), so parity dispatches to xla — while the fast
+    # tier pads at any utilization (304K vs the 170K parity-grade scan)
+    p160 = init_params(
+        jax.random.PRNGKey(0), dataclasses.replace(MODEL, hidden_size=160)
+    )
+    assert resolve_backend("pallas", "infer", params=p160) == "xla"
+    assert resolve_backend("pallas_fast", "infer", params=p160) == "pallas_fast"
+    # train: the backward kernels are not padded — still lane-gated
     assert resolve_backend("pallas_train", "train", params=p100) == "xla"
 
 
