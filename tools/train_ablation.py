@@ -110,10 +110,13 @@ def main() -> None:
                 (loss, hidden), grads = grad_fn(p, x, hidden, yb_w, yr_w,
                                                 row_mask)
                 if mode == "noopt":
-                    # fold one grad leaf into the carry so the backward
-                    # cannot be dead-coded; params stay constant
-                    tot = tot + loss + grads["base_head"]["b"].sum()
-                    return (p, o, hidden, tot), None
+                    # fold EVERY grad leaf into the carry: with only a head
+                    # grad kept, XLA dead-codes the entire GRU backward
+                    # (observed at B=1024 — noopt == nograd exactly);
+                    # params stay constant
+                    gsum = sum(g.sum() for g in
+                               jax.tree_util.tree_leaves(grads))
+                    return (p, o, hidden, tot + loss + gsum), None
                 updates, o = tx.update(grads, o, p)
                 updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
                 import optax
