@@ -169,6 +169,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-p", "--polished", required=True)
     p.add_argument("--max_band", type=int, default=1 << 20)
     p.add_argument("--json", action="store_true")
+    p.add_argument("-b", "--bed", default=None,
+                   help="masked-regions BED (truth-space): SSW-anchored "
+                        "masking of both fastas before assessing")
 
     sub.add_parser("devices", help="show JAX devices and platform info (reference: torch_stat)")
     sub.add_parser("version", help="print version")
@@ -232,6 +235,7 @@ def main(argv=None) -> int:
             ["-t", args.truth, "-p", args.polished,
              "--max_band", str(args.max_band)]
             + (["--json"] if args.json else [])
+            + (["--bed", args.bed] if args.bed else [])
         )
 
     if args.command == "devices":

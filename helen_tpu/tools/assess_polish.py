@@ -114,9 +114,34 @@ def main(argv=None) -> int:
                          "distance per contig")
     ap.add_argument("--json", action="store_true",
                     help="print the full JSON report instead of the table")
+    ap.add_argument("-b", "--bed", default=None,
+                    help="masked-regions BED (truth-space coordinates, e.g. "
+                         "masked_regions/GRCh38_masked_regions.bed): mask "
+                         "the truth at its coordinates and the polished "
+                         "sequence via SSW-anchored flanks (tools.bed_mask "
+                         "--anchor_truth) before assessing — exact under "
+                         "indels upstream of masked intervals")
     args = ap.parse_args(argv)
-    truth = dict(read_fasta(args.truth))
-    polished = dict(read_fasta(args.polished))
+    if args.bed:
+        import tempfile
+
+        from helen_tpu.tools.bed_mask import anchored_mask_fasta
+
+        with tempfile.TemporaryDirectory(prefix="helen_assess_mask_") as td:
+            pol_m = f"{td}/polished_masked.fa"
+            tru_m = f"{td}/truth_masked.fa"
+            stats = anchored_mask_fasta(args.polished, args.truth, args.bed,
+                                        pol_m, out_truth=tru_m)
+            print(f"# masked {stats['masked_truth']} truth / "
+                  f"{stats['masked_polished']} polished bases "
+                  f"({stats['anchored']} intervals anchored, "
+                  f"{stats['fallback']} coordinate fallbacks)",
+                  file=sys.stderr)
+            truth = dict(read_fasta(tru_m))
+            polished = dict(read_fasta(pol_m))
+    else:
+        truth = dict(read_fasta(args.truth))
+        polished = dict(read_fasta(args.polished))
     report = assess(truth, polished, args.max_band)
     if args.json:
         print(json.dumps(report))

@@ -114,7 +114,13 @@ def anchored_mask_fasta(
     Returns stats: masked base counts, anchored/fallback interval counts.
     ``out_truth`` optionally also writes the coordinate-masked truth (the
     matching other half of a masked assessment). ``search_pad=0`` auto-sizes
-    the anchor search window per contig from the observed length drift."""
+    the anchor search window per contig from the observed length drift.
+
+    Assessment semantics of the masked pair: substitutions inside a masked
+    interval vanish (N == N); a NET indel inside one still contributes
+    |length change| edits because the two N runs differ in length —
+    matching how an alignment-based pipeline scores a masked region's
+    length disagreement."""
     from helen_tpu.stitch.aligner import Aligner, Alignment
 
     intervals = read_bed(bed)

@@ -309,3 +309,29 @@ def test_anchored_bed_mask_invariant_under_upstream_indels(tmp_path):
     masked_seq = dict(read_fasta(str(out)))["ctg"]
     # exactly the interval's span is masked, wherever it landed
     assert masked_seq.count("N") == 1000
+
+
+def test_assess_with_bed_masking(tmp_path, capsys):
+    """`helen_tpu assess --bed`: anchored masking runs inline and the
+    masked report excludes interval-internal edits even with an upstream
+    indel (the one-command form of the masked-regions protocol)."""
+    from helen_tpu.cli import main as cli_main
+    from helen_tpu.io.fasta import read_fasta  # noqa: F401 (parity w/ sibling test)
+
+    truth_seq = random_sequence(10000, seed=77)
+    s = list(truth_seq)
+    s[4200] = "A" if s[4200] != "A" else "C"   # inside masked interval
+    s[8000] = "A" if s[8000] != "A" else "C"   # outside: must count
+    s[1000:1000] = list("TTTTT")                # +5 upstream indel
+    pol = "".join(s)
+    (tmp_path / "t.fa").write_text(f">c\n{truth_seq}\n")
+    (tmp_path / "p.fa").write_text(f">c\n{pol}\n")
+    (tmp_path / "m.bed").write_text("c\t4000\t4400\n")
+    rc = cli_main(["assess", "-t", str(tmp_path / "t.fa"),
+                   "-p", str(tmp_path / "p.fa"),
+                   "-b", str(tmp_path / "m.bed")])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # 1 outside substitution + the 5-base insertion; the masked-interval
+    # substitution is gone
+    assert "TOTAL\t10000\t6 edits" in out
