@@ -66,11 +66,15 @@ class ConsensusStep:
         # device->host label bytes AND the per-batch readback dispatches —
         # on relay-attached harnesses each readback costs a full RTT
         # (VERDICT r4 weak #1). Byte-identical to the two-array path.
+        # With qualities the phred array stays separate (3 -> 2 arrays).
         geom = model_geometry(params)
         self._pack_nr: Optional[int] = None
-        if not qualities and geom.num_base_classes * geom.num_rle_classes <= 256:
+        if geom.num_base_classes * geom.num_rle_classes <= 256:
             self._pack_nr = geom.num_rle_classes
-        n_out = 3 if qualities else (1 if self._pack_nr else 2)
+        if self._pack_nr:
+            n_out = 2 if qualities else 1
+        else:
+            n_out = 3 if qualities else 2
         pack_nr = self._pack_nr
 
         def fn(p, images_u8):
@@ -84,9 +88,10 @@ class ConsensusStep:
             outs = f(p, images_u8, WINDOW,
                      precision=precision, backend=backend)
             if pack_nr is not None:
-                b, r = outs
+                b, r = outs[0], outs[1]
                 # uint8-safe: b < num_base, r < num_rle, product <= 256
-                return (b * np.uint8(pack_nr) + r,)
+                packed = b * np.uint8(pack_nr) + r
+                return (packed, *outs[2:])
             return outs
 
         self._batch_sharding = None
@@ -138,12 +143,14 @@ class ConsensusStep:
     def read(self, handle) -> Tuple[np.ndarray, ...]:
         """Block on one submitted batch and return numpy label arrays —
         always ``(base, rle)`` (plus quality when enabled), decoding the
-        single packed uint8 array when packed readback is active."""
+        packed uint8 array when packed readback is active."""
         if self._pack_nr is not None:
             packed = np.asarray(handle[0])
             base = packed // np.uint8(self._pack_nr)
             rle = packed - base * np.uint8(self._pack_nr)
-            return base.astype(np.uint8, copy=False), rle.astype(np.uint8, copy=False)
+            return (base.astype(np.uint8, copy=False),
+                    rle.astype(np.uint8, copy=False),
+                    *(np.asarray(x) for x in handle[1:]))
         return tuple(np.asarray(x) for x in handle)
 
     def __call__(self, images_u8: np.ndarray) -> Tuple[np.ndarray, ...]:
