@@ -148,6 +148,14 @@ def _forward_inproj(
     tools/parity_flips.py — same as the xp-stream kernel)."""
     from helen_tpu.ops.gru_pallas import bigru_apply_inproj
 
+    # NOTE (explored and REFUTED, r5): a fused encoder+decoder window
+    # kernel holding the stack boundary in VMEM scratch
+    # (ops.gru_pallas.transducer_apply_fused_encdec — bit-identical to
+    # this chain, kept as a tested experiment) measured 461K vs 482K
+    # windows/s same-process at B=1024: the boundary's HBM streams are
+    # already hidden by the pipeline's double buffering, and the fused
+    # grid's conditional index maps cost ~4%. The chained per-layer
+    # kernels below stay the dispatch for every geometry.
     fast = backend == "pallas_fast"
     cur = jnp.swapaxes(x, 0, 1)  # (W, B, F); dtype may be uint8
     enc_finals = []

@@ -753,6 +753,299 @@ def bigru_apply_inproj(
     return out
 
 
+def _kernel_fused_encdec(
+    x_f_ref, x_b_ref, h0_f_ref, h0_b_ref,
+    ewi_f_hi_ref, ewi_b_hi_ref, ewi_f_lo_ref, ewi_b_lo_ref,
+    ewh_f_hi_ref, ewh_b_hi_ref, ewh_f_lo_ref, ewh_b_lo_ref,
+    ebi_f_ref, ebi_b_ref, ebh_f_ref, ebh_b_ref,
+    dwi_f_hi_ref, dwi_b_hi_ref, dwi_f_lo_ref, dwi_b_lo_ref,
+    dwh_f_hi_ref, dwh_b_hi_ref, dwh_f_lo_ref, dwh_b_lo_ref,
+    dbi_f_ref, dbi_b_ref, dbh_f_ref, dbh_b_ref,
+    out_f_ref, out_b_ref, hf_ref, hb_ref,
+    h_f, h_b, eo_f, eo_b,
+    *, T: int, H: int, fast: bool,
+):
+    """Whole-transducer window: encoder AND decoder bi-GRUs in ONE launch.
+
+    EXPLORED AND REFUTED (r5, kept as a tested experiment — NOT on any
+    dispatch path). Hypothesis: the parity program's decoder increment
+    (30.7% at B=1024, tools/parity_ablation3.py) is mostly the stack
+    boundary — the encoder writes its (T, B, H) out halves to HBM and the
+    decoder reads them back FOUR times (forward and reversed per
+    direction) — so holding the boundary in VMEM scratch should win ~20%.
+    Measured same-process on v5e at B=1024: chained 482.4K windows/s,
+    fused 461K, invariant to Bt 256/128/64 — the boundary's HBM streams
+    were ALREADY fully hidden by the pipeline's double buffering
+    (the kernels are compute-bound there), and the fused grid's
+    conditional index maps + dynamic scratch loads cost ~4%. Flips
+    identical (4+0 parity, 515+224 fast per 2x128k).
+
+    Mechanism (verified bit-identical to the chained
+    _kernel_inproj1 + _kernel_inproj2 path in tests/test_pallas.py): the
+    encoder phase (grid steps t < T) stores its outputs in VMEM scratch
+    ``eo_f/eo_b``; the decoder phase (t >= T) reads them straight from
+    VMEM. The transducer contract makes the phase hand-off free: the
+    decoder's initial hidden IS the encoder's final hidden, which is
+    exactly what the ``h_f/h_b`` scratch holds when the encoder phase
+    ends. Mosaic requires an explicit CompilerParams vmem_limit_bytes for
+    the >16 MB scratch.
+
+    Stream plumbing: during the decoder phase the x index maps pin to
+    block 0, so the pipeline fetches nothing new; during the encoder phase
+    the out index maps pin to block 0 of a (T+1)-block padded output (the
+    caller slices [1:]), so dummy writes never clobber decoder output.
+    """
+    import jax.experimental.pallas as pl
+
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        h_f[:] = h0_f_ref[:]
+        h_b[:] = h0_b_ref[:]
+
+    @pl.when(t < T)
+    def _enc():
+        ewi_f_lo = None if fast else ewi_f_lo_ref[:]
+        ewi_b_lo = None if fast else ewi_b_lo_ref[:]
+        ewh_f_lo = None if fast else ewh_f_lo_ref[:]
+        ewh_b_lo = None if fast else ewh_b_lo_ref[:]
+        xp_f = _proj_passes(x_f_ref[0], ewi_f_hi_ref[:], ewi_f_lo) + ebi_f_ref[:]
+        xp_b = _proj_passes(x_b_ref[0], ewi_b_hi_ref[:], ewi_b_lo) + ebi_b_ref[:]
+        hf_new = _gru_gates(h_f[:], xp_f, ewh_f_hi_ref[:], ewh_f_lo,
+                            ebh_f_ref[:])
+        hb_new = _gru_gates(h_b[:], xp_b, ewh_b_hi_ref[:], ewh_b_lo,
+                            ebh_b_ref[:])
+        h_f[:] = hf_new
+        h_b[:] = hb_new
+        # both directions store at ORIGINAL time positions (the backward
+        # direction computes position T-1-t at step t)
+        eo_f[pl.ds(t, 1)] = hf_new[None]
+        eo_b[pl.ds(T - 1 - t, 1)] = hb_new[None]
+
+    @pl.when(t >= T)
+    def _dec():
+        s = t - T
+        dwi_f_lo_t = dwi_f_lo_b = dwi_b_lo_t = dwi_b_lo_b = None
+        if not fast:
+            dwi_f_lo_t, dwi_f_lo_b = dwi_f_lo_ref[:H], dwi_f_lo_ref[H:]
+            dwi_b_lo_t, dwi_b_lo_b = dwi_b_lo_ref[:H], dwi_b_lo_ref[H:]
+        dwh_f_lo = None if fast else dwh_f_lo_ref[:]
+        dwh_b_lo = None if fast else dwh_b_lo_ref[:]
+        a_f = eo_f[pl.ds(s, 1)][0]
+        b_f = eo_b[pl.ds(s, 1)][0]
+        a_r = eo_f[pl.ds(T - 1 - s, 1)][0]
+        b_r = eo_b[pl.ds(T - 1 - s, 1)][0]
+        xp_f = (
+            _proj_passes(a_f, dwi_f_hi_ref[:H], dwi_f_lo_t)
+            + _proj_passes(b_f, dwi_f_hi_ref[H:], dwi_f_lo_b)
+        ) + dbi_f_ref[:]
+        xp_b = (
+            _proj_passes(a_r, dwi_b_hi_ref[:H], dwi_b_lo_t)
+            + _proj_passes(b_r, dwi_b_hi_ref[H:], dwi_b_lo_b)
+        ) + dbi_b_ref[:]
+        hf_new = _gru_gates(h_f[:], xp_f, dwh_f_hi_ref[:], dwh_f_lo,
+                            dbh_f_ref[:])
+        hb_new = _gru_gates(h_b[:], xp_b, dwh_b_hi_ref[:], dwh_b_lo,
+                            dbh_b_ref[:])
+        h_f[:] = hf_new
+        h_b[:] = hb_new
+
+    # every step writes its current hidden to the out stream block: during
+    # the encoder phase the index maps route it to the dummy block 0
+    out_f_ref[0] = h_f[:]
+    out_b_ref[0] = h_b[:]
+
+    @pl.when(t == 2 * T - 1)
+    def _final():
+        hf_ref[:] = h_f[:]
+        hb_ref[:] = h_b[:]
+
+
+def fused_encdec_vmem_bytes(h: int, bt: int = 0, d: int = 0,
+                            t: int = 100) -> int:
+    """Worst-case VMEM residency of the fused encoder+decoder kernel: the
+    (t, Bt, h) f32 encoder-output scratch pair dominates."""
+    bt = bt or _pick_block_fused_target(h, d, t)
+    h = _ceil128(h)
+    dp = max(_ceil128(d), h) if d else h
+    scratch = 2 * t * bt * h * 4 + 2 * bt * h * 4
+    weights = ((4 * dp + 4 * h) * 3 * h + (4 * 2 * h + 4 * h) * 3 * h) * 2
+    streams = (2 * dp + 2 * h) * 2 * 4 * bt
+    return scratch + weights + streams
+
+
+def _pick_block_fused_target(h: int, d: int = 0, t: int = 100,
+                             budget: int = 0) -> int:
+    """Largest power-of-two batch block whose fused-kernel residency fits
+    the VMEM budget (the classic per-h block target does not apply: the
+    encoder-output scratch scales with Bt*t)."""
+    budget = budget or vmem_budget_bytes()
+    for bt in (256, 128, 64, 32, 16, 8):
+        if fused_encdec_vmem_bytes(h, bt=bt, d=d, t=t) <= int(
+                budget * _VMEM_USABLE):
+            return bt
+    return 8
+
+
+def fused_encdec_fits_vmem(h: int, d: int = 0, t: int = 100,
+                           budget: int = 0) -> bool:
+    budget = budget or vmem_budget_bytes()
+    return fused_encdec_vmem_bytes(
+        h, bt=8, d=d, t=t) <= int(budget * _VMEM_USABLE)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def fused_transducer_window(
+    x: jnp.ndarray,                            # (T, B, Dp) enc input
+    h0_f: jnp.ndarray, h0_b: jnp.ndarray,      # (B, H) enc initial hidden
+    ewi_f, ewi_b, ewh_f, ewh_b, ebi_f, ebi_b, ebh_f, ebh_b,   # encoder
+    dwi_f, dwi_b, dwh_f, dwh_b, dbi_f, dbi_b, dbh_f, dbh_b,   # decoder
+    block_b: int = 0,
+    interpret: bool = False,
+):
+    """One transducer window (1-layer encoder + decoder) in one kernel.
+
+    Returns (dec_out_f (T,B,H), dec_out_b (T,B,H), dec_hf, dec_hb)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, B, D = x.shape
+    Hm = h0_f.shape[1]
+    assert D % 128 == 0 and Hm % 128 == 0
+    Bt = block_b or _pick_block(
+        B, target=_pick_block_fused_target(Hm, D, T), h=Hm)
+    assert B % Bt == 0
+    fast = ewh_f.dtype == jnp.bfloat16 or dwh_f.dtype == jnp.bfloat16
+
+    ewi_f_hi, ewi_f_lo = _split_or_fast(ewi_f, fast)
+    ewi_b_hi, ewi_b_lo = _split_or_fast(ewi_b, fast)
+    ewh_f_hi, ewh_f_lo = _split_or_fast(ewh_f, fast)
+    ewh_b_hi, ewh_b_lo = _split_or_fast(ewh_b, fast)
+    dwi_f_hi, dwi_f_lo = _split_or_fast(dwi_f, fast)
+    dwi_b_hi, dwi_b_lo = _split_or_fast(dwi_b, fast)
+    dwh_f_hi, dwh_f_lo = _split_or_fast(dwh_f, fast)
+    dwh_b_hi, dwh_b_lo = _split_or_fast(dwh_b, fast)
+
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda b, t: (0,) * len(shape), memory_space=pltpu.VMEM)
+    h0_spec = pl.BlockSpec((Bt, Hm), lambda b, t: (b, 0),
+                           memory_space=pltpu.VMEM)
+    # x streams feed the encoder phase only; past it they pin to block 0 so
+    # the pipeline stops fetching
+    x_stream = lambda rev: pl.BlockSpec(
+        (1, Bt, D),
+        (lambda b, t: (jnp.where(t < T, T - 1 - t, 0), b, 0)) if rev
+        else (lambda b, t: (jnp.where(t < T, t, 0), b, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    # outputs live in the decoder phase; encoder-phase writes land in the
+    # extra leading block 0 of a (T+1)-block array (sliced off below)
+    out_stream = lambda rev: pl.BlockSpec(
+        (1, Bt, Hm),
+        (lambda b, t: (jnp.where(t >= T, T - (t - T), 0), b, 0)) if rev
+        else (lambda b, t: (jnp.where(t >= T, t - T + 1, 0), b, 0)),
+        memory_space=pltpu.VMEM,
+    )
+
+    # Mosaic's scoped-VMEM allocator defaults to a 16 MB limit regardless
+    # of the chip's actual VMEM; the encoder-output scratch legitimately
+    # exceeds that at large batch blocks, so raise the limit to the
+    # estimated residency (+30% for Mosaic's own spills) — the dispatch
+    # gate (fused_encdec_fits_vmem vs vmem_budget_bytes) has already
+    # verified the chip can hold it
+    vmem_limit = min(
+        int(fused_encdec_vmem_bytes(Hm, bt=Bt, d=D, t=T) * 1.3),
+        vmem_budget_bytes(),
+    )
+    out_f, out_b, hf, hb = pl.pallas_call(
+        functools.partial(_kernel_fused_encdec, T=T, H=Hm, fast=fast),
+        grid=(B // Bt, 2 * T),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        in_specs=[
+            x_stream(False), x_stream(True),
+            h0_spec, h0_spec,
+            const(ewi_f_hi.shape), const(ewi_b_hi.shape),
+            const(ewi_f_lo.shape), const(ewi_b_lo.shape),
+            const(ewh_f_hi.shape), const(ewh_b_hi.shape),
+            const(ewh_f_lo.shape), const(ewh_b_lo.shape),
+            const((1, 3 * Hm)), const((1, 3 * Hm)),
+            const((1, 3 * Hm)), const((1, 3 * Hm)),
+            const(dwi_f_hi.shape), const(dwi_b_hi.shape),
+            const(dwi_f_lo.shape), const(dwi_b_lo.shape),
+            const(dwh_f_hi.shape), const(dwh_b_hi.shape),
+            const(dwh_f_lo.shape), const(dwh_b_lo.shape),
+            const((1, 3 * Hm)), const((1, 3 * Hm)),
+            const((1, 3 * Hm)), const((1, 3 * Hm)),
+        ],
+        out_specs=[out_stream(False), out_stream(True), h0_spec, h0_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((T + 1, B, Hm), jnp.float32),
+            jax.ShapeDtypeStruct((T + 1, B, Hm), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hm), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hm), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Bt, Hm), jnp.float32),
+            pltpu.VMEM((Bt, Hm), jnp.float32),
+            pltpu.VMEM((T, Bt, Hm), jnp.float32),
+            pltpu.VMEM((T, Bt, Hm), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, x, h0_f, h0_b,
+      ewi_f_hi, ewi_b_hi, ewi_f_lo, ewi_b_lo,
+      ewh_f_hi, ewh_b_hi, ewh_f_lo, ewh_b_lo,
+      ebi_f, ebi_b, ebh_f, ebh_b,
+      dwi_f_hi, dwi_b_hi, dwi_f_lo, dwi_b_lo,
+      dwh_f_hi, dwh_b_hi, dwh_f_lo, dwh_b_lo,
+      dbi_f, dbi_b, dbh_f, dbh_b)
+    return out_f[1:], out_b[1:], hf, hb
+
+
+def transducer_apply_fused_encdec(
+    enc_params,
+    dec_params,
+    x,                       # (T, B, D) raw window input
+    h0_fwd: jnp.ndarray,
+    h0_bwd: jnp.ndarray,
+    fast: bool = False,
+    exact_input: bool = False,
+    interpret: bool = False,
+):
+    """1-layer transducer window (encoder+decoder) via the fused kernel.
+
+    Same dtype/padding contract as :func:`bigru_apply_inproj` for the
+    encoder input; returns the DECODER's (out_f, out_b, hf, hb)."""
+    e_f, e_b = enc_params["fwd"], enc_params["bwd"]
+    d_f, d_b = dec_params["fwd"], dec_params["bwd"]
+    D = x.shape[-1]
+    Dp = _ceil128(D)
+    ewi_f, ewi_b = e_f["w_ih"], e_b["w_ih"]
+    if Dp != D:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Dp - D)))
+        ewi_f = jnp.pad(ewi_f, ((0, Dp - D), (0, 0)))
+        ewi_b = jnp.pad(ewi_b, ((0, Dp - D), (0, 0)))
+    if fast or exact_input:
+        x = x.astype(jnp.bfloat16)
+    elif x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+
+    def hh(p):
+        w = p["w_hh"]
+        return w.astype(jnp.bfloat16) if fast else w
+
+    args = (
+        ewi_f, ewi_b, hh(e_f), hh(e_b),
+        e_f["b_ih"].reshape(1, -1), e_b["b_ih"].reshape(1, -1),
+        e_f["b_hh"].reshape(1, -1), e_b["b_hh"].reshape(1, -1),
+        d_f["w_ih"], d_b["w_ih"], hh(d_f), hh(d_b),
+        d_f["b_ih"].reshape(1, -1), d_b["b_ih"].reshape(1, -1),
+        d_f["b_hh"].reshape(1, -1), d_b["b_hh"].reshape(1, -1),
+    )
+    return fused_transducer_window(x, h0_fwd, h0_bwd, *args,
+                                   interpret=interpret)
+
+
 def bigru_apply_fused(
     params,
     x: jnp.ndarray,  # (T, B, D) time-major

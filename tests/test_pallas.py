@@ -501,3 +501,37 @@ def test_engaged_kernel_matches_dispatch_predicate():
         wide.hidden_size, d=wide.input_features)
     with pytest.raises(ValueError):
         engaged_kernel(p, "auto")
+
+
+@pytest.mark.parametrize("fast", [False, True])
+def test_fused_encdec_bit_identical_to_chained(fast):
+    """The fused encoder+decoder window kernel (r5) must be BIT-IDENTICAL
+    to the chained inproj kernels — same ops on the same values; only the
+    stack boundary moves from HBM to VMEM scratch."""
+    from helen_tpu.ops.gru_pallas import (
+        bigru_apply_inproj,
+        transducer_apply_fused_encdec,
+    )
+
+    T, B, D, H = 7, 8, 90, 128
+    enc = jax.tree_util.tree_map(
+        jnp.asarray, bigru_init(jax.random.PRNGKey(10), D, H))
+    dec = jax.tree_util.tree_map(
+        jnp.asarray, bigru_init(jax.random.PRNGKey(11), 2 * H, H))
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.integers(0, 40, size=(T, B, D)), dtype=jnp.uint8)
+    h0f = jnp.asarray(rng.standard_normal((B, H)), dtype=jnp.float32)
+    h0b = jnp.asarray(rng.standard_normal((B, H)), dtype=jnp.float32)
+
+    xin = x if not fast else x  # uint8 either way; exact_input drives cast
+    eof, eob, ehf, ehb = bigru_apply_inproj(
+        enc, xin, h0f, h0b, fast=fast, exact_input=True, interpret=True)
+    dof, dob, dhf, dhb = bigru_apply_inproj(
+        dec, (eof, eob), ehf, ehb, fast=fast, interpret=True)
+    fof, fob, fhf, fhb = transducer_apply_fused_encdec(
+        enc, dec, xin, h0f, h0b, fast=fast, exact_input=True,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(fof), np.asarray(dof))
+    np.testing.assert_array_equal(np.asarray(fob), np.asarray(dob))
+    np.testing.assert_array_equal(np.asarray(fhf), np.asarray(dhf))
+    np.testing.assert_array_equal(np.asarray(fhb), np.asarray(dhb))
