@@ -535,3 +535,25 @@ def test_fused_encdec_bit_identical_to_chained(fast):
     np.testing.assert_array_equal(np.asarray(fob), np.asarray(dob))
     np.testing.assert_array_equal(np.asarray(fhf), np.asarray(dhf))
     np.testing.assert_array_equal(np.asarray(fhb), np.asarray(dhb))
+
+
+def test_fused_encdec_vmem_estimator():
+    """The refuted-but-kept fused kernel's VMEM estimator: scratch scales
+    with T*Bt*H, the block target shrinks until the budget fits, and the
+    fits gate holds at the smallest block."""
+    from helen_tpu.ops.gru_pallas import (
+        _pick_block_fused_target,
+        fused_encdec_fits_vmem,
+        fused_encdec_vmem_bytes,
+    )
+
+    small = fused_encdec_vmem_bytes(128, bt=8, d=90, t=100)
+    big = fused_encdec_vmem_bytes(128, bt=256, d=90, t=100)
+    assert big > small > 0
+    # 16 MiB floor budget forces a small block; 128 MiB admits 256
+    assert _pick_block_fused_target(128, 90, 100,
+                                    budget=16 * 1024 * 1024) <= 64
+    assert _pick_block_fused_target(128, 90, 100,
+                                    budget=128 * 1024 * 1024) == 256
+    assert fused_encdec_fits_vmem(128, d=90, budget=16 * 1024 * 1024)
+    assert not fused_encdec_fits_vmem(2048, d=90, budget=16 * 1024 * 1024)

@@ -194,3 +194,16 @@ def test_scaling_bench_harness():
     assert [r["devices"] for r in rows] == [1, 2]
     assert rows[0]["efficiency"] == 1.0
     assert all(r["windows_per_s"] > 0 for r in rows)
+
+
+def test_sharding_overhead_harness_smoke():
+    """The CI sharding-overhead harness (tools/sharding_overhead) runs on
+    the virtual mesh and produces finite overhead ratios — the artifact
+    the >=85% scaling story gates on (docs/multihost.md)."""
+    from helen_tpu.tools.sharding_overhead import measure
+
+    rows = measure([2], per_device_batch=1, steps=1, image_len=100)
+    assert len(rows) == 1 and rows[0]["devices"] == 2
+    assert rows[0]["global_batch"] == 2
+    for k in ("train_overhead", "consensus_overhead"):
+        assert -0.95 < rows[0][k] < 20.0  # finite, sane

@@ -335,3 +335,43 @@ def test_assess_with_bed_masking(tmp_path, capsys):
     # 1 outside substitution + the 5-base insertion; the masked-interval
     # substitution is gone
     assert "TOTAL\t10000\t6 edits" in out
+
+
+def test_anchored_bed_mask_edges_and_fallback(tmp_path):
+    """Anchored masking edge cases: an interval starting at 0 (no left
+    flank -> polished start), one ending at contig end (-> polished end),
+    and an unanchorable flank (repeat sequence below the confidence gate)
+    falling back to coordinate masking with the fallback counter."""
+    from helen_tpu.io.fasta import read_fasta
+    from helen_tpu.tools import bed_mask
+
+    truth_seq = random_sequence(8000, seed=13)
+    pol = truth_seq[:2000] + "AC" + truth_seq[2000:]  # +2 indel mid-contig
+    (tmp_path / "t.fa").write_text(f">c\n{truth_seq}\n")
+    (tmp_path / "p.fa").write_text(f">c\n{pol}\n")
+    # start-anchored and end-anchored intervals
+    (tmp_path / "edges.bed").write_text("c\t0\t500\nc\t7500\t8000\n")
+    out = tmp_path / "edges_masked.fa"
+    stats = bed_mask.anchored_mask_fasta(
+        str(tmp_path / "p.fa"), str(tmp_path / "t.fa"),
+        str(tmp_path / "edges.bed"), str(out))
+    assert stats["fallback"] == 0
+    seq = dict(read_fasta(str(out)))["c"]
+    # [0,500) is upstream of the indel: masks polished [0,500); the end
+    # interval shifts by +2
+    assert seq[:500] == "N" * 500 and seq[500] != "N"
+    assert seq[7501] != "N" and seq[7502:] == "N" * 500
+    assert stats["masked_polished"] == 1000
+
+    # unanchorable: a homopolymer truth whose flanks align anywhere gets
+    # a low-confidence anchor or a wrong-order span -> coordinate fallback
+    (tmp_path / "t2.fa").write_text(">r\n" + "A" * 4000 + "\n")
+    (tmp_path / "p2.fa").write_text(">r\n" + "A" * 1000 + "C" * 3010 + "\n")
+    (tmp_path / "rep.bed").write_text("r\t2000\t2100\n")
+    out2 = tmp_path / "rep_masked.fa"
+    stats2 = bed_mask.anchored_mask_fasta(
+        str(tmp_path / "p2.fa"), str(tmp_path / "t2.fa"),
+        str(tmp_path / "rep.bed"), str(out2))
+    assert stats2["fallback"] == 1
+    seq2 = dict(read_fasta(str(out2)))["r"]
+    assert seq2[2000:2100] == "N" * 100  # coordinate-masked
