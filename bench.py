@@ -356,7 +356,13 @@ def _measure_e2e(params, runs: int = 2) -> dict:
         pack_images(files, cache_path, IMAGE)
 
     def one_run(model_npz, depth, pack):
+        from helen_tpu.stitch.engine import prewarm_stitch_pool
+
         out_dir = tempfile.mkdtemp(prefix="helen_bench_e2e_")
+        stitch_threads = min(8, os.cpu_count() or 1)
+        # pool pre-warmed before consensus, as polish() does: worker spawn
+        # + imports overlap the TPU-bound stage (r5)
+        pool = prewarm_stitch_pool(stitch_threads)
         try:
             timer = StageTimer()
             t0 = time.perf_counter()
@@ -369,9 +375,12 @@ def _measure_e2e(params, runs: int = 2) -> dict:
             consensus_s = time.perf_counter() - t0
             t1 = time.perf_counter()
             perform_stitch(out_dir, out_dir, "bench",
-                           threads=min(8, os.cpu_count() or 1))
+                           threads=stitch_threads, executor=pool)
+            pool = None
             stitch_s = time.perf_counter() - t1
         finally:
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
             shutil.rmtree(out_dir, ignore_errors=True)
         return consensus_s, stitch_s, timer
 

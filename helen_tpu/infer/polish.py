@@ -25,6 +25,7 @@ def perform_stitch(
     output_prefix: str = "HELEN_prediction",
     threads: int = 4,
     fastq: bool = False,
+    executor=None,
 ) -> str:
     """Stitch all prediction files in a directory into one polished FASTA.
 
@@ -33,7 +34,8 @@ def perform_stitch(
 
     ``fastq=True`` emits ``<prefix>.fq`` with per-base phred qualities
     instead (a helen_tpu extension; requires a store written with
-    ``--qualities``).
+    ``--qualities``). ``executor``: optional pre-warmed pool from
+    stitch.engine.prewarm_stitch_pool (ownership passes to the Stitcher).
     """
     prediction_files = list_prediction_files(input_directory)
     if not prediction_files:
@@ -43,7 +45,8 @@ def perform_stitch(
 
     ensure_output_dir(output_dir)
     out_path = os.path.join(output_dir, output_prefix + (".fq" if fastq else ".fa"))
-    stitcher = Stitcher(threads=threads, with_quality=fastq)
+    stitcher = Stitcher(threads=threads, with_quality=fastq,
+                        executor=executor)
 
     def records():
         # one pool spans all contigs (stitch_iter): later contigs' region
@@ -126,35 +129,50 @@ def polish(
         )
         pred_dir = os.path.join(output_dir, name)
         os.makedirs(pred_dir, exist_ok=True)
-    with timer.stage("call_consensus"):
-        call_consensus(
-            image_dir=image_dir,
-            model_path=model_path,
-            output_dir=pred_dir,
-            batch_size=batch_size,
-            num_workers=num_workers,
-            resume=resume,
-            profile_dir=profile_dir,
-            backend=backend,
-            pack=pack,
-            host_shard=host_shard,
-            data_parallel=data_parallel,
-            num_writers=num_writers,
-            pipeline_depth=pipeline_depth,
-            qualities=fastq,
-            # cache in the STABLE parent, not the per-run timestamped
-            # predictions dir — otherwise every fresh polish re-packs the
-            # whole image set and strands the old multi-GB cache
-            cache_dir=output_dir,
-        )
-    fasta = os.path.join(output_dir, output_prefix + (".fq" if fastq else ".fa"))
-    if multi:
-        multihost.barrier("consensus-shards-complete",
-                          timeout_s=barrier_timeout_s)
+    # pre-warm the stitch pool on the stitching host BEFORE consensus: the
+    # worker spawn + heavy imports (~1-3 s) overlap the TPU-bound consensus
+    # stage instead of serializing into the stitch wall time
+    stitch_pool = None
     if not multi or jax.process_index() == 0:
-        with timer.stage("stitch"):
-            fasta = perform_stitch(pred_dir, output_dir, output_prefix, threads,
-                                   fastq=fastq)
+        from helen_tpu.stitch.engine import prewarm_stitch_pool
+
+        stitch_pool = prewarm_stitch_pool(threads)
+    try:
+        with timer.stage("call_consensus"):
+            call_consensus(
+                image_dir=image_dir,
+                model_path=model_path,
+                output_dir=pred_dir,
+                batch_size=batch_size,
+                num_workers=num_workers,
+                resume=resume,
+                profile_dir=profile_dir,
+                backend=backend,
+                pack=pack,
+                host_shard=host_shard,
+                data_parallel=data_parallel,
+                num_writers=num_writers,
+                pipeline_depth=pipeline_depth,
+                qualities=fastq,
+                # cache in the STABLE parent, not the per-run timestamped
+                # predictions dir — otherwise every fresh polish re-packs the
+                # whole image set and strands the old multi-GB cache
+                cache_dir=output_dir,
+            )
+        fasta = os.path.join(output_dir,
+                             output_prefix + (".fq" if fastq else ".fa"))
+        if multi:
+            multihost.barrier("consensus-shards-complete",
+                              timeout_s=barrier_timeout_s)
+        if not multi or jax.process_index() == 0:
+            with timer.stage("stitch"):
+                fasta = perform_stitch(pred_dir, output_dir, output_prefix,
+                                       threads, fastq=fastq,
+                                       executor=stitch_pool)
+                stitch_pool = None  # ownership passed and consumed
+    finally:
+        if stitch_pool is not None:  # consensus failed before stitch ran
+            stitch_pool.shutdown(wait=False, cancel_futures=True)
     if multi:
         multihost.barrier("stitch-complete", timeout_s=barrier_timeout_s)
     log.info("polish complete:\n%s", timer.report())

@@ -368,10 +368,17 @@ class Stitcher:
     """
 
     def __init__(self, cfg: StitchConfig = STITCH, threads: int = 4,
-                 with_quality: bool = False):
+                 with_quality: bool = False, executor=None):
+        """``executor``: an optional PRE-WARMED process pool from
+        :func:`prewarm_stitch_pool`. The Stitcher takes ownership (it is
+        shut down by stitch_iter exactly as an internally-created pool
+        would be) — callers create it early so the worker spawn + heavy
+        imports overlap preceding pipeline stages (consensus) instead of
+        serializing into the stitch wall time."""
         self.cfg = cfg
         self.threads = max(1, threads)
         self.with_quality = with_quality
+        self._executor = executor
 
     def _result(self, joined: Tuple):
         return joined[3:5] if self.with_quality else joined[3]
@@ -408,6 +415,9 @@ class Stitcher:
                     else (contig, joined))
 
         if self.threads == 1 or total_groups <= 1:
+            if self._executor is not None:  # owned but unused: release it
+                self._executor.shutdown(wait=False, cancel_futures=True)
+                self._executor = None
             for contig, groups in plan:
                 yield emit(contig, self._join(
                     [_stitch_key_group(contig, g, self.cfg, self.with_quality)
@@ -421,31 +431,50 @@ class Stitcher:
         # (2.3 s/worker + a device claim on the TPU harness — utils.procs)
         from helen_tpu.utils.procs import lean_worker_env
 
-        try:
-            ex = concurrent.futures.ProcessPoolExecutor(
-                max_workers=self.threads,
-                mp_context=multiprocessing.get_context("spawn"),
-            )
-        except (OSError, concurrent.futures.process.BrokenProcessPool) as exc:
-            log.warning("stitch process pool unavailable (%s); running "
-                        "in-process", exc)
-            for contig, groups in plan:
-                yield emit(contig, self._join(
-                    [_stitch_key_group(contig, g, self.cfg, self.with_quality)
-                     for g in groups]
-                ))
-            return
+        if self._executor is not None:
+            ex = self._executor  # pre-warmed (prewarm_stitch_pool)
+            self._executor = None
+        else:
+            try:
+                ex = concurrent.futures.ProcessPoolExecutor(
+                    max_workers=self.threads,
+                    mp_context=multiprocessing.get_context("spawn"),
+                )
+            except (OSError, concurrent.futures.process.BrokenProcessPool) as exc:
+                log.warning("stitch process pool unavailable (%s); running "
+                            "in-process", exc)
+                for contig, groups in plan:
+                    yield emit(contig, self._join(
+                        [_stitch_key_group(contig, g, self.cfg,
+                                           self.with_quality)
+                         for g in groups]
+                    ))
+                return
         done = False
         try:
-            with lean_worker_env():
-                # workers launch lazily inside submit — keep every spawn
-                # inside the scrubbed-env window
-                futures = {
-                    contig: [ex.submit(_stitch_key_group, contig, g, self.cfg,
-                                       self.with_quality)
-                             for g in groups]
-                    for contig, groups in plan
-                }
+            try:
+                with lean_worker_env():
+                    # workers launch lazily inside submit — keep every spawn
+                    # inside the scrubbed-env window
+                    futures = {
+                        contig: [ex.submit(_stitch_key_group, contig, g,
+                                           self.cfg, self.with_quality)
+                                 for g in groups]
+                        for contig, groups in plan
+                    }
+            except concurrent.futures.process.BrokenProcessPool as exc:
+                # a pre-warmed pool can arrive broken (a worker died during
+                # warmup); never let that kill the stitch — run in-process
+                log.warning("stitch pool broken at submit (%s); running "
+                            "in-process", exc)
+                done = True  # owned pool is shut down by the finally below
+                for contig, groups in plan:
+                    yield emit(contig, self._join(
+                        [_stitch_key_group(contig, g, self.cfg,
+                                           self.with_quality)
+                         for g in groups]
+                    ))
+                return
             for contig, groups in plan:
                 results: List[Tuple] = []
                 failed_groups: List[Sequence] = []
@@ -481,6 +510,45 @@ class Stitcher:
         for row in self.stitch_iter(prediction_files, [contig]):
             return row[1]  # sequence (rows are (contig, seq[, qual]))
         return ""
+
+
+def _warm_worker() -> int:
+    """Run inside a freshly spawned stitch worker: pull in the heavy
+    imports and build/load the native library NOW so the first real task
+    doesn't pay them."""
+    import h5py  # noqa: F401
+    import numpy  # noqa: F401
+
+    from helen_tpu.stitch._native import get_lib
+
+    get_lib()
+    return 0
+
+
+def prewarm_stitch_pool(threads: int):
+    """Create the stitch process pool and start spawning + warming its
+    workers immediately (one no-op task per worker triggers the lazy
+    spawn; the task imports numpy/h5py and loads the native SSW library).
+
+    Call this BEFORE a long preceding stage (polish calls it before
+    consensus) and hand the pool to ``Stitcher(executor=...)`` /
+    ``perform_stitch(executor=...)`` — worker spawn + imports (~1-3 s on
+    small hosts) then overlap that stage instead of serializing into the
+    stitch wall time. Returns None when ``threads <= 1`` (the Stitcher
+    would take its serial path anyway). The receiving Stitcher owns the
+    pool; if stitch never runs, the creator must shut it down."""
+    if threads <= 1:
+        return None
+    from helen_tpu.utils.procs import lean_worker_env
+
+    with lean_worker_env():
+        ex = concurrent.futures.ProcessPoolExecutor(
+            max_workers=threads,
+            mp_context=multiprocessing.get_context("spawn"),
+        )
+        for _ in range(threads):
+            ex.submit(_warm_worker)  # spawn + import in the background
+    return ex
 
 
 def stitch_contig(

@@ -513,3 +513,33 @@ def test_pipeline_geometry_property(tmp_path, seed):
         assert len(qual) == len(seq)
         # Ns from fallback joins carry q0; everything else the oracle's q33
         assert set(qual) <= {chr(33 + 33), "!"}
+
+
+def test_prewarmed_pool_injection(tmp_path):
+    """prewarm_stitch_pool: the pre-spawned pool is consumed by stitch_iter
+    (byte-identical output), a serial-path Stitcher releases an unused
+    injected pool, and threads<=1 returns None."""
+    import numpy as np
+
+    from helen_tpu.io.synthetic import random_sequence, write_prediction_file
+    from helen_tpu.stitch.engine import Stitcher, prewarm_stitch_pool
+
+    seq = random_sequence(30000, seed=21)
+    pred = str(tmp_path / "p.hdf")
+    write_prediction_file(pred, {"c": seq})
+
+    assert prewarm_stitch_pool(1) is None
+
+    pool = prewarm_stitch_pool(2)
+    assert pool is not None
+    try:
+        rows = list(Stitcher(threads=2, executor=pool).stitch_iter([pred], ["c"]))
+        assert rows[0][1] == seq
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)  # idempotent
+
+    # serial path (single group): injected pool must be released, not leaked
+    pool2 = prewarm_stitch_pool(2)
+    st = Stitcher(threads=1, executor=pool2)
+    rows = list(st.stitch_iter([pred], ["c"]))
+    assert rows[0][1] == seq and st._executor is None
