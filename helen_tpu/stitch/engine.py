@@ -462,10 +462,13 @@ class Stitcher:
                                  for g in groups]
                         for contig, groups in plan
                     }
-            except concurrent.futures.process.BrokenProcessPool as exc:
+            except (concurrent.futures.process.BrokenProcessPool,
+                    RuntimeError) as exc:
                 # a pre-warmed pool can arrive broken (a worker died during
-                # warmup); never let that kill the stitch — run in-process
-                log.warning("stitch pool broken at submit (%s); running "
+                # warmup — BrokenProcessPool) or already shut down
+                # (RuntimeError); never let that kill the stitch — run
+                # in-process
+                log.warning("stitch pool unusable at submit (%s); running "
                             "in-process", exc)
                 done = True  # owned pool is shut down by the finally below
                 for contig, groups in plan:

@@ -543,3 +543,18 @@ def test_prewarmed_pool_injection(tmp_path):
     st = Stitcher(threads=1, executor=pool2)
     rows = list(st.stitch_iter([pred], ["c"]))
     assert rows[0][1] == seq and st._executor is None
+
+
+def test_prewarmed_pool_unusable_falls_back_in_process(tmp_path):
+    """An injected pool that is broken or already shut down by the time
+    stitch submits must degrade to in-process stitching, never crash."""
+    from helen_tpu.io.synthetic import random_sequence, write_prediction_file
+    from helen_tpu.stitch.engine import Stitcher, prewarm_stitch_pool
+
+    seq = random_sequence(30000, seed=22)
+    pred = str(tmp_path / "p.hdf")
+    write_prediction_file(pred, {"c": seq})
+    pool = prewarm_stitch_pool(2)
+    pool.shutdown(wait=True, cancel_futures=True)  # arrives unusable
+    rows = list(Stitcher(threads=2, executor=pool).stitch_iter([pred], ["c"]))
+    assert rows[0][1] == seq
