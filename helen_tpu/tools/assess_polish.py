@@ -122,6 +122,7 @@ def main(argv=None) -> int:
                          "--anchor_truth) before assessing — exact under "
                          "indels upstream of masked intervals")
     args = ap.parse_args(argv)
+    mask_stats = None
     if args.bed:
         import tempfile
 
@@ -130,12 +131,12 @@ def main(argv=None) -> int:
         with tempfile.TemporaryDirectory(prefix="helen_assess_mask_") as td:
             pol_m = f"{td}/polished_masked.fa"
             tru_m = f"{td}/truth_masked.fa"
-            stats = anchored_mask_fasta(args.polished, args.truth, args.bed,
-                                        pol_m, out_truth=tru_m)
-            print(f"# masked {stats['masked_truth']} truth / "
-                  f"{stats['masked_polished']} polished bases "
-                  f"({stats['anchored']} intervals anchored, "
-                  f"{stats['fallback']} coordinate fallbacks)",
+            mask_stats = anchored_mask_fasta(
+                args.polished, args.truth, args.bed, pol_m, out_truth=tru_m)
+            print(f"# masked {mask_stats['masked_truth']} truth / "
+                  f"{mask_stats['masked_polished']} polished bases "
+                  f"({mask_stats['anchored']} intervals anchored, "
+                  f"{mask_stats['fallback']} coordinate fallbacks)",
                   file=sys.stderr)
             truth = dict(read_fasta(tru_m))
             polished = dict(read_fasta(pol_m))
@@ -143,6 +144,8 @@ def main(argv=None) -> int:
         truth = dict(read_fasta(args.truth))
         polished = dict(read_fasta(args.polished))
     report = assess(truth, polished, args.max_band)
+    if mask_stats is not None:
+        report["masking"] = mask_stats
     if args.json:
         print(json.dumps(report))
     else:
