@@ -55,16 +55,31 @@ def _chunk_keys(path: str) -> Set[Tuple[str, str]]:
 
 
 def _writer_main(path: str, mode: str, work_q, result_q) -> None:
-    """Worker: own one shard file; apply record blocks in arrival order."""
+    """Worker: own one shard file; apply record blocks in arrival order.
+
+    The idle loop polls with a timeout and watches the PARENT pid: if the
+    driver is SIGKILLed (preemption, OOM killer), daemon children are NOT
+    reaped by Python — an orphaned writer would sit in ``work_q.get()``
+    forever holding its shard's HDF5 write lock, and the operator's
+    ``--resume`` attempt would then die with 'unable to lock file'
+    (observed live, r5). Orphans instead close the store (releasing the
+    lock, leaving the shard readable) and exit within ~5 s."""
     try:
         from helen_tpu.io.prediction_store import PredictionStore
 
+        parent = os.getppid()
         store = PredictionStore(path, mode)
         # report pre-existing chunks (resume) so the driver can build the
         # pool-wide dedupe set
         result_q.put(("chunks", sorted(store._chunks)))
         while True:
-            item = work_q.get()
+            try:
+                item = work_q.get(timeout=5)
+            except queue_mod.Empty:
+                if os.getppid() != parent:  # driver died; we are orphaned
+                    store.close()
+                    return
+                continue
             if item == _SENTINEL:
                 break
             if item == _FLUSH:

@@ -210,3 +210,63 @@ def _env_probe(q):
     import os
 
     q.put("absent" if "PALLAS_AXON_POOL_IPS" not in os.environ else "present")
+
+
+def test_orphaned_writers_release_locks(tmp_path):
+    """SIGKILL the DRIVER process: its daemon writer children must notice
+    the parent's death, close their shards (releasing HDF5 write locks)
+    and exit — otherwise a --resume attempt dies with 'unable to lock
+    file' (observed live, r5)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import h5py
+
+    script = tmp_path / "driver.py"
+    script.write_text(f"""
+import sys, time, json
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+import numpy as np
+
+def main():
+    from helen_tpu.io.writer_pool import PredictionWriterPool
+    paths = [{repr(str(tmp_path / 'w0.hdf'))}, {repr(str(tmp_path / 'w1.hdf'))}]
+    pool = PredictionWriterPool(paths, "w")
+    pos = np.zeros((10, 3), np.int64)
+    pool.write_prediction("c", 0, 100, 0, pos,
+                          np.zeros(10, np.uint8), np.zeros(10, np.uint8))
+    pool.flush()
+    with open({repr(str(tmp_path / 'pids.json'))}, "w") as f:
+        json.dump([p.pid for p in pool._procs], f)
+    print("READY", flush=True)
+    time.sleep(120)  # parked: the test SIGKILLs us here
+
+if __name__ == "__main__":
+    main()
+""")
+    p = subprocess.Popen([sys.executable, str(script)],
+                         stdout=subprocess.PIPE, text=True)
+    assert p.stdout.readline().strip() == "READY"
+    import json
+
+    pids = json.load(open(tmp_path / "pids.json"))
+    os.kill(p.pid, signal.SIGKILL)
+    p.wait()
+
+    def alive(pid):
+        try:
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+
+    deadline = time.time() + 30
+    while time.time() < deadline and any(alive(pid) for pid in pids):
+        time.sleep(0.5)
+    assert not any(alive(pid) for pid in pids), "orphaned writers survived"
+    # locks released: both shards reopen for WRITE (what --resume needs)
+    for name in ("w0.hdf", "w1.hdf"):
+        with h5py.File(str(tmp_path / name), "a") as f:
+            assert "predictions" in f
