@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--barrier_timeout", type=float, default=86400.0,
                    help="multi-host barrier timeout in seconds (hosts park "
                         "here behind process 0's stitch; default 24 h)")
+    p.add_argument("--no_stream_stitch", action="store_true",
+                   help="disable overlapping stitch with consensus (streaming "
+                        "is byte-identical and on by default; it already "
+                        "auto-disables under --resume and multi-host runs)")
 
     p = sub.add_parser("call_consensus", help="run model inference, write prediction HDF5")
     _add_common_consensus_args(p)
@@ -263,6 +267,7 @@ def main(argv=None) -> int:
             pipeline_depth=args.pipeline_depth,
             fastq=args.fastq,
             barrier_timeout_s=args.barrier_timeout,
+            stream_stitch=not args.no_stream_stitch,
         )
         print(fasta)
         return 0

@@ -198,6 +198,7 @@ def call_consensus(
     cache_dir: Optional[str] = None,
     stage_timer: Optional[StageTimer] = None,
     pipeline_depth: int = 2,
+    stream_sink_factory=None,
 ) -> List[str]:
     """Run consensus calling over a directory of MarginPolish images.
 
@@ -210,6 +211,12 @@ def call_consensus(
     per-writer shards exactly like multi-host shards.
     ``pack=True`` builds (or reuses) a packed contiguous cache of the images
     for slab-read streaming — ~10-30x faster host IO on large runs.
+
+    ``stream_sink_factory`` (polish's streaming-stitch hook) is called once
+    with the resolved ``(dataset, indices)`` — indices is None when the whole
+    dataset runs — and may return a sink whose ``add(rec, bases, rles,
+    quals)`` then receives every record the prediction store ACCEPTS, in
+    stream order, as batches drain (stitch.streaming.StreamingStitcher).
 
     ``host_shard`` picks the multi-host work partition: ``"image"`` (default)
     assigns each host a contiguous equal-count block of the image index —
@@ -285,6 +292,13 @@ def call_consensus(
         raise ValueError(f"no images found in {len(files)} input files")
     log.info("%d images across %d files", len(dataset), len(files))
 
+    stream_sink = None
+    if stream_sink_factory is not None:
+        stream_sink = stream_sink_factory(dataset, shard_indices)
+        if stream_sink is not None:
+            log.info("streaming stitch: overlapping region merges with "
+                     "consensus")
+
     step, shard_multiple = make_consensus_step(params, data_parallel, precision,
                                                backend, qualities)
     log.info("consensus backend: %s", step.backend)
@@ -356,6 +370,15 @@ def call_consensus(
                     # count as skipped, not written
                     if wrote:
                         written += 1
+                        if stream_sink is not None:
+                            # overlap stitching with consensus: the sink
+                            # ships completed region-groups to the stitch
+                            # pool while later batches are still on the TPU
+                            stream_sink.add(
+                                rec, base_labels[j], rle_labels[j],
+                                qual_rows[j] if qual_rows is not None
+                                else None,
+                            )
                     else:
                         skipped += 1
 

@@ -64,6 +64,30 @@ def perform_stitch(
     return out_path
 
 
+def _finish_streamed(sink, pred_dir: str, output_dir: str,
+                     output_prefix: str, fastq: bool) -> str:
+    """Write the FASTA/FASTQ from a completed streaming-stitch sink: only
+    the in-order contig joins remain (the region merges already ran on the
+    pool, overlapped with consensus)."""
+    prediction_files = list_prediction_files(pred_dir)
+    out_path = os.path.join(output_dir,
+                            output_prefix + (".fq" if fastq else ".fa"))
+    n_contigs = len(sink.plan.contigs)
+    log.info("stitching %d contigs (streamed) from %d prediction files",
+             n_contigs, len(prediction_files))
+
+    def records():
+        for i, row in enumerate(sink.finish_iter(prediction_files)):
+            log.info("%04d/%04d: finished %s, polished length %d",
+                     i + 1, n_contigs, row[0], len(row[1]))
+            yield row
+
+    n = write_fastq(out_path, records()) if fastq \
+        else write_fasta(out_path, records())
+    log.info("wrote %d contigs to %s", n, out_path)
+    return out_path
+
+
 def polish(
     image_dir: str,
     model_path: str,
@@ -82,11 +106,19 @@ def polish(
     pipeline_depth: int = 2,
     fastq: bool = False,
     barrier_timeout_s: float = 86400.0,
+    stream_stitch: bool = True,
 ) -> str:
     """Full polish: images -> consensus -> stitch -> polished FASTA path.
 
     ``fastq=True`` turns on per-column quality emission at consensus and
     writes <prefix>.fq with per-base phred qualities (helen_tpu extension).
+
+    ``stream_stitch`` (default on) overlaps stitching with consensus: region
+    merges run on the stitch pool from in-memory predictions as regions
+    complete, and the post-consensus stitch stage shrinks to the in-order
+    joins (stitch.streaming — byte-identical output). Automatically falls
+    back to the classic store-reading stitch under ``--resume``, multi-host
+    runs, ``threads <= 1``, or any mid-stream failure.
 
     ``barrier_timeout_s`` bounds how long a multi-host job waits at the
     shards-complete and stitch-complete barriers (default 24 h — the
@@ -137,6 +169,31 @@ def polish(
         from helen_tpu.stitch.engine import prewarm_stitch_pool
 
         stitch_pool = prewarm_stitch_pool(threads)
+
+    # streaming stitch: merge regions on the pool WHILE consensus runs
+    # (stitch.streaming). Requires the in-memory view to be complete —
+    # single host, fresh run — and a live pool to stream into.
+    sink = None
+    sink_factory = None
+    if (stream_stitch and not multi and not resume
+            and stitch_pool is not None):
+        def sink_factory(dataset, indices, _pool=stitch_pool):
+            nonlocal sink
+            from helen_tpu.config import STITCH
+            from helen_tpu.stitch.streaming import (
+                StreamingStitcher,
+                build_stream_plan,
+            )
+
+            try:
+                plan = build_stream_plan(dataset, indices, threads, STITCH)
+            except Exception as exc:  # metadata pre-scan failed: classic path
+                log.warning("stream-stitch pre-scan failed (%s); using the "
+                            "classic stitch stage", exc)
+                return None
+            sink = StreamingStitcher(plan, STITCH, with_quality=fastq,
+                                     executor=_pool)
+            return sink
     try:
         with timer.stage("call_consensus"):
             call_consensus(
@@ -154,6 +211,7 @@ def polish(
                 num_writers=num_writers,
                 pipeline_depth=pipeline_depth,
                 qualities=fastq,
+                stream_sink_factory=sink_factory,
                 # cache in the STABLE parent, not the per-run timestamped
                 # predictions dir — otherwise every fresh polish re-packs the
                 # whole image set and strands the old multi-GB cache
@@ -166,10 +224,20 @@ def polish(
                               timeout_s=barrier_timeout_s)
         if not multi or jax.process_index() == 0:
             with timer.stage("stitch"):
-                fasta = perform_stitch(pred_dir, output_dir, output_prefix,
-                                       threads, fastq=fastq,
-                                       executor=stitch_pool)
-                stitch_pool = None  # ownership passed and consumed
+                if sink is not None and sink.ready():
+                    fasta = _finish_streamed(sink, pred_dir, output_dir,
+                                             output_prefix, fastq)
+                    stitch_pool = None  # consumed by finish_iter
+                else:
+                    if sink is not None:
+                        # mid-stream failure: reclaim the pool and re-read
+                        # the (complete) store classically
+                        stitch_pool = sink.abort()
+                    fasta = perform_stitch(pred_dir, output_dir,
+                                           output_prefix, threads,
+                                           fastq=fastq,
+                                           executor=stitch_pool)
+                    stitch_pool = None  # ownership passed and consumed
     finally:
         if stitch_pool is not None:  # consensus failed before stitch ran
             stitch_pool.shutdown(wait=False, cancel_futures=True)

@@ -108,6 +108,21 @@ class MarginPolishDataset:
     def __len__(self) -> int:
         return len(self.index)
 
+    def image_meta(self, i: int) -> Tuple[str, int, int, int]:
+        """(contig, contig_start, contig_end, chunk_id) for image ``i``,
+        reading only the four tiny metadata datasets (not the image/position
+        payload). Used by the streaming-stitch pre-scan; ~4 small HDF5 reads
+        per image, so genome-scale streaming runs should prefer the packed
+        cache (PackedDataset.image_meta is free)."""
+        path, name = self.index[i]
+        grp = self._handle(path)["images"][name]
+        return (
+            _decode_contig(grp["contig"][()]),
+            int(np.asarray(grp["contig_start"][()]).reshape(-1)[0]),
+            int(np.asarray(grp["contig_end"][()]).reshape(-1)[0]),
+            int(np.asarray(grp["feature_chunk_idx"][()]).reshape(-1)[0]),
+        )
+
     def _handle(self, path: str) -> h5py.File:
         cache = getattr(self._local, "handles", None)
         if cache is None:

@@ -25,7 +25,7 @@ cache next to the output dir and validates it against source mtimes.
 from __future__ import annotations
 
 import os
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 import h5py
 import numpy as np
@@ -232,6 +232,18 @@ class PackedDataset:
 
     def __len__(self) -> int:
         return self.n
+
+    def image_meta(self, i: int) -> Tuple[str, int, int, int]:
+        """(contig, contig_start, contig_end, chunk_id) for image ``i``
+        without touching the image/position slabs — the packed cache keeps
+        all metadata in memory, so a full pre-scan (streaming stitch's
+        region-completion plan) is free here."""
+        return (
+            self.contigs[self.contig_ids[i]],
+            int(self.contig_start[i]),
+            int(self.contig_end[i]),
+            int(self.chunk_id[i]),
+        )
 
     def read_batch(self, indices: np.ndarray) -> ImageBatch:
         g = self.file["packed"]

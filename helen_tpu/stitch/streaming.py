@@ -1,0 +1,307 @@
+"""Streaming stitch: overlap stitching with consensus calling.
+
+The classic polish pipeline serializes its stages — consensus writes every
+prediction to the HDF5 store, THEN the stitcher reads them all back and
+reassembles contigs (the reference does the same, PolishInterface.py:49-105).
+On a fast chip the stitch stage is a pure wall-time tail: by the time
+consensus finishes, every byte the stitcher needs has already been through
+driver memory once.
+
+This module removes that tail. The consensus driver feeds each image's
+predictions (the same arrays it writes to the store) into a
+:class:`StreamingStitcher` as they drain from the device. A pre-scan of the
+dataset's metadata (``image_meta`` — free on the packed cache) tells the
+stitcher exactly how many chunks every MarginPolish region expects, so the
+moment a region-group completes, its merge+join work is submitted to the
+(pre-warmed) stitch process pool IN MEMORY — no store read-back — and runs
+while the TPU is still chewing the remaining batches. When consensus ends,
+most of the stitch work is already done; ``finish_iter`` only performs the
+cheap in-order region joins.
+
+Byte-identity with the store-path stitch is structural, not incidental —
+every divergence point of the classic path is replayed:
+
+  * chunk payloads convert ``position`` to uint32 before merging, so short
+    images' (-1,-1,-1) padding rows wrap to 4294967295 exactly as the store
+    round-trip wraps them (prediction_store.write_prediction docstring);
+  * chunks merge in lexicographic str(chunk_id) order ('10' < '2'), the
+    order read_region_chunks yields after the store round-trip;
+  * only records the store accepted (first-write-wins dedupe) are fed, so
+    duplicate (region, chunk) inputs resolve identically;
+  * regions partition into the same worker groups as Stitcher._plan (same
+    group-size formula over the same (start, end)-sorted region list), so
+    the hierarchical alignment_stitch tree is identical.
+
+The stitcher refuses to engage (``polish`` falls back to the classic path)
+under multi-host runs (process 0 cannot see other hosts' predictions in
+memory) and under --resume (previously-stored chunks never re-run, so the
+in-memory view would be incomplete). A worker failure mid-stream degrades
+per group: the store — fully written by finish time — is re-read for just
+that group via the classic worker.
+"""
+from __future__ import annotations
+
+import concurrent.futures
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from helen_tpu.config import STITCH, StitchConfig
+from helen_tpu.obs import get_logger
+from helen_tpu.stitch.engine import (
+    _stitch_key_group,
+    alignment_stitch,
+    merge_region_chunks,
+    merge_region_chunks_with_quality,
+)
+from helen_tpu.utils.filesystem import chunk_list
+
+log = get_logger("stitch.stream")
+
+
+def _stitch_mem_group(
+    contig: str,
+    regions: Sequence[Tuple[int, int, List[tuple]]],
+    cfg: StitchConfig,
+    with_quality: bool,
+):
+    """Pool worker: merge + join one group of regions from in-memory chunk
+    payloads. The in-memory twin of engine._stitch_key_group: same
+    per-region merge (str(chunk_id)-sorted chunks through the shared
+    _dedupe_region_rows) and the same within-group alignment_stitch."""
+    region_sequences = []
+    for start, end, chunks in regions:
+        ordered = sorted(chunks, key=lambda c: str(c[0]))
+        if with_quality:
+            seq, qual = merge_region_chunks_with_quality(
+                (pos, bases, rles, quals)
+                for _, pos, bases, rles, quals in ordered
+            )
+            region_sequences.append((contig, int(start), int(end), seq, qual))
+        else:
+            seq = merge_region_chunks(
+                (pos, bases, rles) for _, pos, bases, rles, *_ in ordered
+            )
+            region_sequences.append((contig, int(start), int(end), seq))
+    return alignment_stitch(region_sequences, cfg)
+
+
+class _Region:
+    __slots__ = ("start", "end", "expected", "chunks", "group")
+
+    def __init__(self, start: int, end: int, group: int):
+        self.start = start
+        self.end = end
+        self.expected = 0
+        self.chunks: List[tuple] = []
+        self.group = group
+
+
+class _Group:
+    __slots__ = ("regions", "remaining", "future", "keys")
+
+    def __init__(self, keys: List[str]):
+        self.keys = keys  # region keys, in plan order
+        self.regions: List[_Region] = []
+        self.remaining = 0
+        self.future: Optional[concurrent.futures.Future] = None
+
+
+class StreamPlan:
+    """Region-completion bookkeeping derived from a dataset metadata
+    pre-scan: which (contig, region) every image belongs to, how many chunks
+    each region expects, and the exact worker grouping Stitcher._plan would
+    produce for the finished store."""
+
+    def __init__(self, contig_groups: Dict[str, List[_Group]],
+                 regions: Dict[Tuple[str, str], _Region]):
+        self.contig_groups = contig_groups  # contig -> groups in plan order
+        self.regions = regions              # (contig, region_key) -> _Region
+
+    @property
+    def contigs(self) -> List[str]:
+        return sorted(self.contig_groups)
+
+
+def build_stream_plan(dataset, indices: Optional[Sequence[int]],
+                      threads: int, cfg: StitchConfig = STITCH) -> StreamPlan:
+    """Pre-scan the dataset metadata and build the streaming plan.
+
+    ``indices`` limits the scan to the images this run will actually process
+    (None = all). Region grouping replays Stitcher._plan exactly: regions
+    sorted by (start, end), group size
+    ``max(cfg.min_sequence_for_multithreading, n // threads + 1)``.
+    """
+    idx = range(len(dataset)) if indices is None else indices
+    # (contig, start, end) -> set of chunk_id ints (store dedupe granularity)
+    seen: Dict[Tuple[str, int, int], set] = {}
+    for i in idx:
+        contig, start, end, chunk_id = dataset.image_meta(i)
+        seen.setdefault((contig, start, end), set()).add(chunk_id)
+
+    per_contig: Dict[str, List[Tuple[int, int, str, int]]] = {}
+    for (contig, start, end), chunk_ids in seen.items():
+        region_key = f"{contig}-{start}-{end}"
+        per_contig.setdefault(contig, []).append(
+            (start, end, region_key, len(chunk_ids))
+        )
+
+    threads = max(1, threads)
+    contig_groups: Dict[str, List[_Group]] = {}
+    regions: Dict[Tuple[str, str], _Region] = {}
+    for contig, rows in per_contig.items():
+        rows.sort(key=lambda r: (r[0], r[1]))
+        group_size = max(
+            cfg.min_sequence_for_multithreading,
+            len(rows) // threads + 1,
+        )
+        groups = []
+        for chunk in chunk_list(rows, group_size):
+            g = _Group([r[2] for r in chunk])
+            for start, end, region_key, expected in chunk:
+                region = _Region(start, end, len(groups))
+                region.expected = expected
+                g.regions.append(region)
+                regions[(contig, region_key)] = region
+            g.remaining = len(g.regions)
+            groups.append(g)
+        contig_groups[contig] = groups
+    return StreamPlan(contig_groups, regions)
+
+
+class StreamingStitcher:
+    """Incremental stitcher fed by the consensus drain loop.
+
+    Construction takes a :class:`StreamPlan` and a pre-warmed process pool
+    (ownership transfers: a successful ``finish_iter`` shuts it down; on the
+    degraded path, ``abort`` hands it back for the classic stitcher). The
+    consensus driver calls :meth:`add` for every record the prediction store
+    ACCEPTED; completed region-groups ship to the pool immediately.
+    """
+
+    def __init__(self, plan: StreamPlan, cfg: StitchConfig = STITCH,
+                 with_quality: bool = False, executor=None):
+        self.plan = plan
+        self.cfg = cfg
+        self.with_quality = with_quality
+        self._executor = executor
+        self.broken = executor is None
+        self._unsealed = sum(r.expected for r in plan.regions.values())
+
+    def add(self, rec, bases: np.ndarray, rles: np.ndarray,
+            quals: Optional[np.ndarray] = None) -> None:
+        """Feed one store-accepted record (rec carries contig/span/chunk_id/
+        position). Copies the label rows — they are views into the batch
+        arrays, which must not be pinned until group submit."""
+        if self.broken:
+            return
+        region_key = f"{rec.contig}-{rec.contig_start}-{rec.contig_end}"
+        region = self.plan.regions.get((rec.contig, region_key))
+        if region is None or len(region.chunks) >= region.expected:
+            # a record the plan did not predict — the pre-scan and the
+            # stream disagree, so the in-memory view cannot be trusted
+            log.warning("stream plan mismatch at %s chunk %s; falling back "
+                        "to store stitch", region_key, rec.chunk_id)
+            self._mark_broken()
+            return
+        payload = (
+            rec.chunk_id,
+            # uint32 BEFORE the merge: replays the store's dtype wrap of
+            # (-1,-1,-1) padding rows (write_prediction docstring)
+            np.ascontiguousarray(rec.position, dtype=np.uint32),
+            np.array(bases, dtype=np.uint8),
+            np.array(rles, dtype=np.uint8),
+        )
+        if self.with_quality:
+            if quals is None:
+                self._mark_broken()
+                return
+            payload = payload + (np.array(quals, dtype=np.uint8),)
+        region.chunks.append(payload)
+        self._unsealed -= 1
+        if len(region.chunks) == region.expected:
+            group = self.plan.contig_groups[rec.contig][region.group]
+            group.remaining -= 1
+            if group.remaining == 0:
+                self._submit(rec.contig, group)
+
+    def _submit(self, contig: str, group: _Group) -> None:
+        from helen_tpu.utils.procs import lean_worker_env
+
+        payload = [(r.start, r.end, r.chunks) for r in group.regions]
+        try:
+            with lean_worker_env():
+                group.future = self._executor.submit(
+                    _stitch_mem_group, contig, payload, self.cfg,
+                    self.with_quality,
+                )
+        except (concurrent.futures.process.BrokenProcessPool,
+                RuntimeError) as exc:
+            log.warning("stream stitch pool unusable (%s); falling back to "
+                        "store stitch", exc)
+            self._mark_broken()
+            return
+        for r in group.regions:
+            r.chunks = []  # pickled into the submit; free driver memory
+
+    def _mark_broken(self) -> None:
+        self.broken = True
+        for groups in self.plan.contig_groups.values():
+            for g in groups:
+                if g.future is not None:
+                    g.future.cancel()
+                g.regions = []
+
+    def ready(self) -> bool:
+        """True when every region sealed and every group submitted — the
+        precondition for finish_iter."""
+        return not self.broken and self._unsealed == 0
+
+    def abort(self):
+        """Give the executor back (for the classic stitcher) and drop any
+        streamed state. Safe to call in any state."""
+        self._mark_broken()
+        ex, self._executor = self._executor, None
+        return ex
+
+    def finish_iter(self, prediction_files: List[str]) -> Iterator[tuple]:
+        """Yield (contig, sequence[, quality]) rows in sorted contig order
+        (the classic stitch_iter contract). Groups whose worker failed are
+        recomputed from the now-complete prediction store."""
+        assert self.ready(), "finish_iter on an incomplete/broken stream"
+        ex, self._executor = self._executor, None
+        done = False
+        try:
+            for contig in self.plan.contigs:
+                results = []
+                for group in self.plan.contig_groups[contig]:
+                    exc = group.future.exception()
+                    if exc is None:
+                        results.append(group.future.result())
+                        continue
+                    log.warning("stream stitch worker failed (%s); re-reading "
+                                "group from the store", exc)
+                    results.append(self._reread_group(
+                        prediction_files, contig, group))
+                if not results:
+                    joined = ("", "", "", "", "")
+                else:
+                    joined = alignment_stitch(results, self.cfg)
+                if self.with_quality:
+                    yield (contig, joined[3], joined[4])
+                else:
+                    yield (contig, joined[3])
+            done = True
+        finally:
+            ex.shutdown(wait=done, cancel_futures=not done)
+
+    def _reread_group(self, prediction_files: List[str], contig: str,
+                      group: _Group):
+        """Degraded path: classic store-reading worker for one group."""
+        from helen_tpu.io.prediction_store import list_region_keys
+
+        by_key = {k: t for t in list_region_keys(prediction_files, contig)
+                  for k in [t[1]]}
+        key_group = [by_key[k] for k in group.keys]
+        return _stitch_key_group(contig, key_group, self.cfg,
+                                 self.with_quality)

@@ -1,0 +1,244 @@
+"""Streaming stitch (stitch.streaming): byte-identity with the classic
+store-reading stitch stage, plan bookkeeping, and the degraded paths.
+
+The streaming path recomputes nothing — it must produce the exact FASTA/FASTQ
+bytes of the classic pipeline on the same predictions, including the store's
+uint32 position wrap, str(chunk_id) merge order, and the hierarchical
+group-join tree (see stitch/streaming.py module docstring for the
+divergence-point inventory).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from helen_tpu.config import MODEL, STITCH
+from helen_tpu.infer.polish import polish
+from helen_tpu.io.checkpoint import save_checkpoint
+from helen_tpu.io.images import MarginPolishDataset
+from helen_tpu.io.synthetic import random_sequence, write_image_file
+from helen_tpu.stitch.streaming import StreamingStitcher, build_stream_plan
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    import jax
+
+    root = tmp_path_factory.mktemp("stream")
+    image_dir = root / "images"
+    image_dir.mkdir()
+    # 3 contigs across 2 files; small regions force many regions per contig
+    # (several worker groups) and chunked regions exercise the per-region
+    # chunk merge; noise makes overlap votes disagree across chunks
+    write_image_file(
+        str(image_dir / "img_0.h5"),
+        {"ctgA": random_sequence(9000, seed=1),
+         "ctgB": random_sequence(5000, seed=2)},
+        region_cols=700, overlap_cols=80, noise=0.25,
+    )
+    write_image_file(
+        str(image_dir / "img_1.h5"),
+        {"ctgC": random_sequence(4000, seed=3)},
+        region_cols=650, overlap_cols=80, noise=0.25,
+    )
+    params = init_model_params()
+    model = str(root / "model.npz")
+    save_checkpoint(model, params, {"epochs": 0})
+    return {"root": root, "image_dir": str(image_dir), "model": model}
+
+
+def init_model_params():
+    import jax
+
+    from helen_tpu.models.transducer import init_params
+
+    return init_params(jax.random.PRNGKey(7), MODEL)
+
+
+def _read(path):
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def test_stream_polish_matches_classic(setup, tmp_path):
+    f_classic = polish(setup["image_dir"], setup["model"],
+                       str(tmp_path / "classic"), batch_size=8, threads=3,
+                       stream_stitch=False)
+    f_stream = polish(setup["image_dir"], setup["model"],
+                      str(tmp_path / "stream"), batch_size=8, threads=3,
+                      stream_stitch=True)
+    assert _read(f_stream) == _read(f_classic)
+    assert len(_read(f_stream)) > 100
+
+
+def test_stream_polish_fastq_matches_classic(setup, tmp_path):
+    f_classic = polish(setup["image_dir"], setup["model"],
+                       str(tmp_path / "classic"), batch_size=8, threads=3,
+                       fastq=True, stream_stitch=False)
+    f_stream = polish(setup["image_dir"], setup["model"],
+                      str(tmp_path / "stream"), batch_size=8, threads=3,
+                      fastq=True, stream_stitch=True)
+    assert _read(f_stream) == _read(f_classic)
+
+
+def test_stream_polish_packed_and_writers(setup, tmp_path):
+    """pack=True (PackedDataset metadata pre-scan) and a writer pool —
+    the bench/production configuration."""
+    f_classic = polish(setup["image_dir"], setup["model"],
+                       str(tmp_path / "classic"), batch_size=8, threads=3,
+                       stream_stitch=False)
+    f_stream = polish(setup["image_dir"], setup["model"],
+                      str(tmp_path / "stream"), batch_size=8, threads=3,
+                      pack=True, num_writers=2, stream_stitch=True)
+    assert _read(f_stream) == _read(f_classic)
+
+
+def test_plan_matches_store_grouping(setup):
+    """The pre-scan plan must reproduce Stitcher._plan's grouping exactly:
+    same sorted contigs, same (start, end)-ordered region keys, same group
+    boundaries."""
+    from helen_tpu.stitch.engine import Stitcher
+
+    files = sorted(
+        os.path.join(setup["image_dir"], f)
+        for f in os.listdir(setup["image_dir"]) if f.endswith(".h5")
+    )
+    ds = MarginPolishDataset(files)
+    threads = 3
+    plan = build_stream_plan(ds, None, threads, STITCH)
+    assert plan.contigs == ["ctgA", "ctgB", "ctgC"]
+
+    # build a prediction store from trivial labels to compare groupings
+    import tempfile
+
+    from helen_tpu.io.prediction_store import PredictionStore, list_region_keys
+
+    with tempfile.TemporaryDirectory() as d:
+        store_path = os.path.join(d, "p_0.hdf")
+        with PredictionStore(store_path, "w") as store:
+            for i in range(len(ds)):
+                rec = ds.load(i)
+                store.write_prediction(
+                    rec.contig, rec.contig_start, rec.contig_end,
+                    rec.chunk_id, rec.position,
+                    np.ones(rec.position.shape[0], np.uint8),
+                    np.ones(rec.position.shape[0], np.uint8),
+                )
+        stitcher = Stitcher(STITCH, threads=threads)
+        store_plan = stitcher._plan([store_path], plan.contigs)
+    for contig, groups in store_plan:
+        stream_groups = plan.contig_groups[contig]
+        assert [g.keys for g in stream_groups] == \
+            [[t[1] for t in grp] for grp in groups]
+        # expected chunk counts cover every image exactly once
+        total = sum(r.expected for g in stream_groups for r in g.regions)
+        n_contig = sum(1 for i in range(len(ds))
+                       if ds.image_meta(i)[0] == contig)
+        assert total == n_contig
+
+
+def test_stream_sink_worker_failure_falls_back_to_store(setup, tmp_path,
+                                                        monkeypatch):
+    """A worker that dies mid-stream must not lose output: finish_iter
+    re-reads the failed group from the (complete) store."""
+    import helen_tpu.stitch.streaming as streaming
+
+    class _FailingFuture:
+        def exception(self):
+            return RuntimeError("injected worker death")
+
+        def cancel(self):
+            pass
+
+    class _FakePool:
+        def __init__(self):
+            self.n = 0
+
+        def submit(self, *a, **k):
+            self.n += 1
+            return _FailingFuture()
+
+        def shutdown(self, **k):
+            pass
+
+    files = sorted(
+        os.path.join(setup["image_dir"], f)
+        for f in os.listdir(setup["image_dir"]) if f.endswith(".h5")
+    )
+    ds = MarginPolishDataset(files)
+    plan = build_stream_plan(ds, None, 3, STITCH)
+    sink = StreamingStitcher(plan, STITCH, executor=_FakePool())
+
+    # run a real consensus into a store, feeding the sink like the driver
+    import tempfile
+
+    from helen_tpu.io.prediction_store import PredictionStore
+
+    with tempfile.TemporaryDirectory() as d:
+        store_path = os.path.join(d, "pred_0.hdf")
+        rng = np.random.default_rng(0)
+        with PredictionStore(store_path, "w") as store:
+            for i in range(len(ds)):
+                rec = ds.load(i)
+                n = rec.position.shape[0]
+                bases = rng.integers(0, 5, n).astype(np.uint8)
+                rles = rng.integers(0, 11, n).astype(np.uint8)
+                wrote = store.write_prediction(
+                    rec.contig, rec.contig_start, rec.contig_end,
+                    rec.chunk_id, rec.position, bases, rles)
+                assert wrote
+                sink.add(rec, bases, rles)
+        assert sink.ready()
+        rows = list(sink.finish_iter([store_path]))
+
+        # classic stitch over the same store must match
+        from helen_tpu.infer.polish import perform_stitch
+
+        out = perform_stitch(d, d, "classic", threads=1)
+        classic = _read(out).decode()
+    got = "".join(f">{c}\n{s}\n" for c, s in rows)
+    assert got == classic
+
+
+def test_stream_disabled_on_resume(setup, tmp_path):
+    """--resume runs take the classic path (in-memory view incomplete) and
+    still produce identical output."""
+    out = str(tmp_path / "o")
+    f1 = polish(setup["image_dir"], setup["model"], out, batch_size=8,
+                threads=3, stream_stitch=True)
+    ref = _read(f1)
+    # resume over the COMPLETE store: everything skips, classic stitch runs
+    f2 = polish(setup["image_dir"], setup["model"], out, batch_size=8,
+                threads=3, resume=True, stream_stitch=True)
+    assert _read(f2) == ref
+
+
+def test_plan_mismatch_marks_broken(setup):
+    """A record the plan never predicted must break the stream (classic
+    fallback), never mis-stitch."""
+    files = sorted(
+        os.path.join(setup["image_dir"], f)
+        for f in os.listdir(setup["image_dir"]) if f.endswith(".h5")
+    )
+    ds = MarginPolishDataset(files)
+    plan = build_stream_plan(ds, None, 2, STITCH)
+
+    class _Pool:
+        def submit(self, *a, **k):
+            raise AssertionError("must not submit after break")
+
+        def shutdown(self, **k):
+            pass
+
+    sink = StreamingStitcher(plan, STITCH, executor=_Pool())
+    rec = ds.load(0)
+
+    class _Alien:
+        contig = "not-a-contig"
+        contig_start = 0
+        contig_end = 10
+        chunk_id = 0
+        position = rec.position
+
+    sink.add(_Alien(), np.ones(5, np.uint8), np.ones(5, np.uint8))
+    assert sink.broken and not sink.ready()
