@@ -346,8 +346,10 @@ def _measure_e2e(params, runs: int = 2) -> dict:
 
     files = list_image_files(img_dir)
     n_images = len(MarginPolishDataset(files, IMAGE))
-    # (pipeline_depth, pack): r4 operating point first, then the levers
-    configs = [(2, False), (2, True), (3, True), (4, True)]
+    # (pipeline_depth, pack, stream_stitch): r4 operating point first, then
+    # the levers; the stream points overlap region merges with consensus
+    configs = [(2, False, False), (2, True, False), (3, True, False),
+               (4, True, False), (3, True, True), (4, True, True)]
     # pre-build the packed cache (same path/signature call_consensus uses
     # with cache_dir=img_dir) so its one-time build cost stays out of the
     # timed runs — production polish() persists it identically
@@ -355,7 +357,7 @@ def _measure_e2e(params, runs: int = 2) -> dict:
     if not cache_is_fresh(cache_path, files):
         pack_images(files, cache_path, IMAGE)
 
-    def one_run(model_npz, depth, pack):
+    def one_run(model_npz, depth, pack, stream=False):
         from helen_tpu.stitch.engine import prewarm_stitch_pool
 
         out_dir = tempfile.mkdtemp(prefix="helen_bench_e2e_")
@@ -363,6 +365,24 @@ def _measure_e2e(params, runs: int = 2) -> dict:
         # pool pre-warmed before consensus, as polish() does: worker spawn
         # + imports overlap the TPU-bound stage (r5)
         pool = prewarm_stitch_pool(stitch_threads)
+        sink = None
+        sink_factory = None
+        if stream and pool is not None:
+            # streaming stitch (polish's default path): region merges run on
+            # the pool from in-memory predictions DURING consensus; the
+            # stitch stage shrinks to the in-order contig joins
+            from helen_tpu.config import STITCH
+            from helen_tpu.stitch.streaming import (
+                StreamingStitcher,
+                build_stream_plan,
+            )
+
+            def sink_factory(dataset, indices, _pool=pool):
+                nonlocal sink
+                plan = build_stream_plan(dataset, indices, stitch_threads,
+                                         STITCH)
+                sink = StreamingStitcher(plan, STITCH, executor=_pool)
+                return sink
         try:
             timer = StageTimer()
             t0 = time.perf_counter()
@@ -371,12 +391,23 @@ def _measure_e2e(params, runs: int = 2) -> dict:
                 output_dir=out_dir, batch_size=E2E_BATCH, num_workers=8,
                 num_writers=E2E_WRITERS, stage_timer=timer,
                 pack=pack, cache_dir=img_dir, pipeline_depth=depth,
+                stream_sink_factory=sink_factory,
             )
             consensus_s = time.perf_counter() - t0
             t1 = time.perf_counter()
-            perform_stitch(out_dir, out_dir, "bench",
-                           threads=stitch_threads, executor=pool)
-            pool = None
+            if sink is not None and sink.ready():
+                from helen_tpu.io.fasta import write_fasta
+                from helen_tpu.utils.filesystem import list_prediction_files
+
+                write_fasta(os.path.join(out_dir, "bench.fa"),
+                            sink.finish_iter(list_prediction_files(out_dir)))
+                pool = None  # consumed by finish_iter
+            else:
+                if sink is not None:
+                    pool = sink.abort()
+                perform_stitch(out_dir, out_dir, "bench",
+                               threads=stitch_threads, executor=pool)
+                pool = None
             stitch_s = time.perf_counter() - t1
         finally:
             if pool is not None:
@@ -398,13 +429,13 @@ def _measure_e2e(params, runs: int = 2) -> dict:
             )
         finally:
             shutil.rmtree(warm_dir, ignore_errors=True)
-        for depth, pack in configs:
-            results.append(((depth, pack), one_run(model_npz, depth, pack)))
+        for cfg in configs:
+            results.append((cfg, one_run(model_npz, *cfg)))
         best_cfg = min(results, key=lambda r: r[1][0] + r[1][1])[0]
         results.append((best_cfg, one_run(model_npz, *best_cfg)))
     finally:
         shutil.rmtree(model_dir, ignore_errors=True)
-    (depth, pack), (consensus_s, stitch_s, timer) = min(
+    (depth, pack, stream), (consensus_s, stitch_s, timer) = min(
         results, key=lambda r: r[1][0] + r[1][1])
     total = consensus_s + stitch_s
     return {
@@ -419,11 +450,12 @@ def _measure_e2e(params, runs: int = 2) -> dict:
         "e2e_images": n_images,
         "e2e_pipeline_depth": depth,
         "e2e_pack": pack,
+        "e2e_stream_stitch": stream,
         "e2e_sweep": [
-            {"pipeline_depth": d, "pack": p,
+            {"pipeline_depth": d, "pack": p, "stream_stitch": st,
              "images_per_s": round(n_images / (c + s), 1),
              "consensus_s": round(c, 2), "stitch_s": round(s, 2)}
-            for (d, p), (c, s, _) in results
+            for (d, p, st), (c, s, _) in results
         ],
         "e2e_runs_images_per_s": [
             round(n_images / (c + s), 1) for _, (c, s, _) in results

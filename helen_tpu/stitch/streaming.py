@@ -12,11 +12,14 @@ predictions (the same arrays it writes to the store) into a
 :class:`StreamingStitcher` as they drain from the device. A pre-scan of the
 dataset's metadata (``image_meta`` — free on the packed cache) tells the
 stitcher exactly how many chunks every MarginPolish region expects, so the
-moment a region-group completes, its merge+join work is submitted to the
-(pre-warmed) stitch process pool IN MEMORY — no store read-back — and runs
-while the TPU is still chewing the remaining batches. When consensus ends,
-most of the stitch work is already done; ``finish_iter`` only performs the
-cheap in-order region joins.
+moment a region seals, its chunks ship to the (pre-warmed) stitch process
+pool IN MEMORY — no store read-back — in small sub-batches (level-1 merge
+tasks; driver memory stays bounded at a few sub-batches, never a whole
+group, and no drain-loop submit pickles more than a few MB). As the last
+sub-batch of a worker group returns, a completion callback submits the
+level-2 within-group join, so merges AND joins run while the TPU is still
+chewing the remaining batches. When consensus ends, ``finish_iter`` only
+performs the cheap in-order per-contig final joins.
 
 Byte-identity with the store-path stitch is structural, not incidental —
 every divergence point of the classic path is replayed:
@@ -59,16 +62,19 @@ from helen_tpu.utils.filesystem import chunk_list
 log = get_logger("stitch.stream")
 
 
-def _stitch_mem_group(
+def _stitch_mem_merge(
     contig: str,
     regions: Sequence[Tuple[int, int, List[tuple]]],
     cfg: StitchConfig,
     with_quality: bool,
 ):
-    """Pool worker: merge + join one group of regions from in-memory chunk
-    payloads. The in-memory twin of engine._stitch_key_group: same
-    per-region merge (str(chunk_id)-sorted chunks through the shared
-    _dedupe_region_rows) and the same within-group alignment_stitch."""
+    """Pool worker, level 1: merge a SUB-BATCH of sealed regions from
+    in-memory chunk payloads into (contig, start, end, seq[, qual]) tuples.
+    The in-memory twin of the per-region half of engine._stitch_key_group:
+    same str(chunk_id)-sorted chunk order through the shared
+    _dedupe_region_rows. Sub-batches are a submission granularity only —
+    each region merges independently, so the batch boundaries cannot affect
+    output (the level-2 join re-sorts regions by span)."""
     region_sequences = []
     for start, end, chunks in regions:
         ordered = sorted(chunks, key=lambda c: str(c[0]))
@@ -83,6 +89,13 @@ def _stitch_mem_group(
                 (pos, bases, rles) for _, pos, bases, rles, *_ in ordered
             )
             region_sequences.append((contig, int(start), int(end), seq))
+    return region_sequences
+
+
+def _stitch_mem_join(region_sequences, cfg: StitchConfig):
+    """Pool worker, level 2: the within-group alignment_stitch over one
+    whole worker-group's merged region sequences (alignment_stitch sorts by
+    span itself, exactly as engine._stitch_key_group relies on)."""
     return alignment_stitch(region_sequences, cfg)
 
 
@@ -98,13 +111,20 @@ class _Region:
 
 
 class _Group:
-    __slots__ = ("regions", "remaining", "future", "keys")
+    __slots__ = ("regions", "remaining", "keys", "pending", "pending_bytes",
+                 "merge_futures", "merge_outstanding", "join_future",
+                 "failed")
 
     def __init__(self, keys: List[str]):
         self.keys = keys  # region keys, in plan order
         self.regions: List[_Region] = []
-        self.remaining = 0
-        self.future: Optional[concurrent.futures.Future] = None
+        self.remaining = 0          # regions not yet sealed
+        self.pending: List[tuple] = []   # sealed regions awaiting submit
+        self.pending_bytes = 0
+        self.merge_futures: List[concurrent.futures.Future] = []
+        self.merge_outstanding = 0
+        self.join_future: Optional[concurrent.futures.Future] = None
+        self.failed = False
 
 
 class StreamPlan:
@@ -176,23 +196,38 @@ class StreamingStitcher:
     (ownership transfers: a successful ``finish_iter`` shuts it down; on the
     degraded path, ``abort`` hands it back for the classic stitcher). The
     consensus driver calls :meth:`add` for every record the prediction store
-    ACCEPTED; completed region-groups ship to the pool immediately.
+    ACCEPTED; sealed regions ship to the pool in sub-batches immediately,
+    and group joins chain off their completion callbacks.
     """
 
+    # submission granularity: sealed regions ship to the pool in small
+    # sub-batches so driver memory stays bounded (chunks free at region
+    # seal, not group seal) and no single submit pickles a genome-scale
+    # payload inside the drain loop. ~32 regions x ~1-2 chunks x ~15 KB
+    # of arrays per chunk = a few-MB pickle, milliseconds.
+    SUB_BATCH_REGIONS = 32
+    SUB_BATCH_BYTES = 8 << 20
+
     def __init__(self, plan: StreamPlan, cfg: StitchConfig = STITCH,
-                 with_quality: bool = False, executor=None):
+                 with_quality: bool = False, executor=None,
+                 sub_batch_regions: Optional[int] = None):
+        import threading
+
         self.plan = plan
         self.cfg = cfg
         self.with_quality = with_quality
         self._executor = executor
         self.broken = executor is None
         self._unsealed = sum(r.expected for r in plan.regions.values())
+        self._lock = threading.Lock()  # guards group merge/join bookkeeping
+        if sub_batch_regions is not None:
+            self.SUB_BATCH_REGIONS = sub_batch_regions
 
     def add(self, rec, bases: np.ndarray, rles: np.ndarray,
             quals: Optional[np.ndarray] = None) -> None:
         """Feed one store-accepted record (rec carries contig/span/chunk_id/
         position). Copies the label rows — they are views into the batch
-        arrays, which must not be pinned until group submit."""
+        arrays, which must not be pinned in driver memory."""
         if self.broken:
             return
         region_key = f"{rec.contig}-{rec.contig_start}-{rec.contig_end}"
@@ -221,18 +256,29 @@ class StreamingStitcher:
         self._unsealed -= 1
         if len(region.chunks) == region.expected:
             group = self.plan.contig_groups[rec.contig][region.group]
+            group.pending.append((region.start, region.end, region.chunks))
+            group.pending_bytes += sum(
+                a.nbytes for c in region.chunks for a in c[1:]
+            )
+            region.chunks = []  # ownership moved to the pending sub-batch
             group.remaining -= 1
-            if group.remaining == 0:
-                self._submit(rec.contig, group)
+            if (group.remaining == 0
+                    or len(group.pending) >= self.SUB_BATCH_REGIONS
+                    or group.pending_bytes >= self.SUB_BATCH_BYTES):
+                self._submit_merge(group)
 
-    def _submit(self, contig: str, group: _Group) -> None:
+    def _submit_merge(self, group: _Group) -> None:
+        """Ship the group's pending sub-batch to a level-1 merge worker.
+        Called from the driver thread only."""
         from helen_tpu.utils.procs import lean_worker_env
 
-        payload = [(r.start, r.end, r.chunks) for r in group.regions]
+        batch, group.pending = group.pending, []
+        group.pending_bytes = 0
+        contig = group.keys[0].rsplit("-", 2)[0]
         try:
             with lean_worker_env():
-                group.future = self._executor.submit(
-                    _stitch_mem_group, contig, payload, self.cfg,
+                fut = self._executor.submit(
+                    _stitch_mem_merge, contig, batch, self.cfg,
                     self.with_quality,
                 )
         except (concurrent.futures.process.BrokenProcessPool,
@@ -241,20 +287,62 @@ class StreamingStitcher:
                         "store stitch", exc)
             self._mark_broken()
             return
-        for r in group.regions:
-            r.chunks = []  # pickled into the submit; free driver memory
+        with self._lock:
+            group.merge_futures.append(fut)
+            group.merge_outstanding += 1
+        # the callback fires in the pool's result-handler thread as each
+        # sub-batch finishes; the LAST one submits the level-2 group join —
+        # so joins overlap consensus too, not just merges
+        fut.add_done_callback(lambda f, g=group: self._merge_done(g, f))
+
+    def _merge_done(self, group: _Group, fut) -> None:
+        with self._lock:
+            group.merge_outstanding -= 1
+            if fut.cancelled() or fut.exception() is not None:
+                group.failed = True
+                return
+            self._maybe_submit_join_locked(group)
+
+    def _maybe_submit_join_locked(self, group: _Group) -> None:
+        """Submit the level-2 join once every region is sealed and every
+        merge sub-batch is back. Caller holds self._lock. Runs in the
+        callback thread (all pool workers are pre-spawned by
+        prewarm_stitch_pool, so no lean_worker_env needed — submit here
+        never lazily spawns a worker)."""
+        if (group.failed or group.join_future is not None
+                or group.remaining != 0 or group.pending
+                or group.merge_outstanding != 0):
+            return
+        region_sequences = []
+        for f in group.merge_futures:
+            region_sequences.extend(f.result())
+        group.merge_futures = []
+        try:
+            group.join_future = self._executor.submit(
+                _stitch_mem_join, region_sequences, self.cfg,
+            )
+        except (concurrent.futures.process.BrokenProcessPool,
+                RuntimeError) as exc:
+            log.warning("stream stitch pool unusable at join (%s); group "
+                        "will re-read from the store", exc)
+            group.failed = True
 
     def _mark_broken(self) -> None:
         self.broken = True
         for groups in self.plan.contig_groups.values():
             for g in groups:
-                if g.future is not None:
-                    g.future.cancel()
+                with self._lock:
+                    for f in g.merge_futures:
+                        f.cancel()
+                    if g.join_future is not None:
+                        g.join_future.cancel()
+                    g.failed = True
                 g.regions = []
+                g.pending = []
 
     def ready(self) -> bool:
-        """True when every region sealed and every group submitted — the
-        precondition for finish_iter."""
+        """True when every region sealed and shipped — the precondition for
+        finish_iter."""
         return not self.broken and self._unsealed == 0
 
     def abort(self):
@@ -264,24 +352,46 @@ class StreamingStitcher:
         ex, self._executor = self._executor, None
         return ex
 
+    def _group_result(self, prediction_files: List[str], contig: str,
+                      group: _Group):
+        """Resolve one group: wait out its merges, close the join race with
+        the callback thread, fall back to the store on any failure."""
+        with self._lock:
+            futs = list(group.merge_futures)
+        if futs:
+            concurrent.futures.wait(futs)
+        with self._lock:
+            # the callback may not have run yet (or at all, if the last
+            # merge completed before its callback registered); both sides
+            # are join_future-guarded under the lock, so exactly one submits
+            self._maybe_submit_join_locked(group)
+            jf, failed = group.join_future, group.failed
+        exc = None if failed or jf is None else jf.exception()
+        if not failed and jf is not None and exc is None:
+            return jf.result()
+        if exc is not None:
+            log.warning("stream stitch join failed (%s); re-reading group "
+                        "from the store", exc)
+        else:
+            log.warning("stream stitch group failed; re-reading from the "
+                        "store")
+        return self._reread_group(prediction_files, contig, group)
+
     def finish_iter(self, prediction_files: List[str]) -> Iterator[tuple]:
         """Yield (contig, sequence[, quality]) rows in sorted contig order
-        (the classic stitch_iter contract). Groups whose worker failed are
+        (the classic stitch_iter contract). Groups whose workers failed are
         recomputed from the now-complete prediction store."""
         assert self.ready(), "finish_iter on an incomplete/broken stream"
-        ex, self._executor = self._executor, None
+        # keep self._executor live until the end: _group_result may still
+        # need to submit level-2 joins for groups whose callbacks lost the
+        # race (it is consumed — shut down — in the finally below)
+        ex = self._executor
         done = False
         try:
             for contig in self.plan.contigs:
                 results = []
                 for group in self.plan.contig_groups[contig]:
-                    exc = group.future.exception()
-                    if exc is None:
-                        results.append(group.future.result())
-                        continue
-                    log.warning("stream stitch worker failed (%s); re-reading "
-                                "group from the store", exc)
-                    results.append(self._reread_group(
+                    results.append(self._group_result(
                         prediction_files, contig, group))
                 if not results:
                     joined = ("", "", "", "", "")
@@ -293,6 +403,7 @@ class StreamingStitcher:
                     yield (contig, joined[3])
             done = True
         finally:
+            self._executor = None
             ex.shutdown(wait=done, cancel_futures=not done)
 
     def _reread_group(self, prediction_files: List[str], contig: str,

@@ -143,20 +143,20 @@ def test_stream_sink_worker_failure_falls_back_to_store(setup, tmp_path,
     re-reads the failed group from the (complete) store."""
     import helen_tpu.stitch.streaming as streaming
 
-    class _FailingFuture:
-        def exception(self):
-            return RuntimeError("injected worker death")
-
-        def cancel(self):
-            pass
+    import concurrent.futures
 
     class _FakePool:
+        """Every task dies — real Future API so done-callbacks and
+        concurrent.futures.wait behave as with a live pool."""
+
         def __init__(self):
             self.n = 0
 
         def submit(self, *a, **k):
             self.n += 1
-            return _FailingFuture()
+            f = concurrent.futures.Future()
+            f.set_exception(RuntimeError("injected worker death"))
+            return f
 
         def shutdown(self, **k):
             pass
@@ -194,6 +194,59 @@ def test_stream_sink_worker_failure_falls_back_to_store(setup, tmp_path,
         # classic stitch over the same store must match
         from helen_tpu.infer.polish import perform_stitch
 
+        out = perform_stitch(d, d, "classic", threads=1)
+        classic = _read(out).decode()
+    got = "".join(f">{c}\n{s}\n" for c, s in rows)
+    assert got == classic
+
+
+def test_sub_batch_granularity_byte_identical(setup):
+    """sub_batch_regions=1 forces one merge task per region plus the
+    callback-chained level-2 joins — maximum machinery, identical bytes."""
+    import concurrent.futures
+    import tempfile
+
+    from helen_tpu.infer.polish import perform_stitch
+    from helen_tpu.io.prediction_store import PredictionStore
+
+    class _InlinePool:
+        """Executes submits synchronously with real Futures, so the
+        done-callback join chain runs deterministically in-process."""
+
+        def submit(self, fn, *a, **k):
+            f = concurrent.futures.Future()
+            try:
+                f.set_result(fn(*a, **k))
+            except Exception as exc:  # pragma: no cover
+                f.set_exception(exc)
+            return f
+
+        def shutdown(self, **k):
+            pass
+
+    files = sorted(
+        os.path.join(setup["image_dir"], f)
+        for f in os.listdir(setup["image_dir"]) if f.endswith(".h5")
+    )
+    ds = MarginPolishDataset(files)
+    plan = build_stream_plan(ds, None, 3, STITCH)
+    sink = StreamingStitcher(plan, STITCH, executor=_InlinePool(),
+                             sub_batch_regions=1)
+    rng = np.random.default_rng(1)
+    with tempfile.TemporaryDirectory() as d:
+        store_path = os.path.join(d, "pred_0.hdf")
+        with PredictionStore(store_path, "w") as store:
+            for i in range(len(ds)):
+                rec = ds.load(i)
+                n = rec.position.shape[0]
+                bases = rng.integers(0, 5, n).astype(np.uint8)
+                rles = rng.integers(0, 11, n).astype(np.uint8)
+                assert store.write_prediction(
+                    rec.contig, rec.contig_start, rec.contig_end,
+                    rec.chunk_id, rec.position, bases, rles)
+                sink.add(rec, bases, rles)
+        assert sink.ready()
+        rows = list(sink.finish_iter([store_path]))
         out = perform_stitch(d, d, "classic", threads=1)
         classic = _read(out).decode()
     got = "".join(f">{c}\n{s}\n" for c, s in rows)
