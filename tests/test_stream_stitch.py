@@ -253,6 +253,57 @@ def test_sub_batch_granularity_byte_identical(setup):
     assert got == classic
 
 
+def test_stream_out_of_order_feed(setup):
+    """Region completion order must not matter: feeding the stream in
+    reverse index order (regions seal interleaved across contigs) still
+    matches the classic store stitch — merges sort chunks by str(chunk_id)
+    regardless of arrival."""
+    import concurrent.futures
+    import tempfile
+
+    from helen_tpu.infer.polish import perform_stitch
+    from helen_tpu.io.prediction_store import PredictionStore
+
+    class _InlinePool:
+        def submit(self, fn, *a, **k):
+            f = concurrent.futures.Future()
+            f.set_result(fn(*a, **k))
+            return f
+
+        def shutdown(self, **k):
+            pass
+
+    files = sorted(
+        os.path.join(setup["image_dir"], f)
+        for f in os.listdir(setup["image_dir"]) if f.endswith(".h5")
+    )
+    ds = MarginPolishDataset(files)
+    plan = build_stream_plan(ds, None, 3, STITCH)
+    sink = StreamingStitcher(plan, STITCH, executor=_InlinePool())
+    rng = np.random.default_rng(2)
+    labels = {}
+    for i in range(len(ds)):
+        n = ds.load(i).position.shape[0]
+        labels[i] = (rng.integers(0, 5, n).astype(np.uint8),
+                     rng.integers(0, 11, n).astype(np.uint8))
+    with tempfile.TemporaryDirectory() as d:
+        store_path = os.path.join(d, "pred_0.hdf")
+        with PredictionStore(store_path, "w") as store:
+            for i in reversed(range(len(ds))):
+                rec = ds.load(i)
+                bases, rles = labels[i]
+                assert store.write_prediction(
+                    rec.contig, rec.contig_start, rec.contig_end,
+                    rec.chunk_id, rec.position, bases, rles)
+                sink.add(rec, bases, rles)
+        assert sink.ready()
+        rows = list(sink.finish_iter([store_path]))
+        out = perform_stitch(d, d, "classic", threads=1)
+        classic = _read(out).decode()
+    got = "".join(f">{c}\n{s}\n" for c, s in rows)
+    assert got == classic
+
+
 def test_stream_disabled_on_resume(setup, tmp_path):
     """--resume runs take the classic path (in-memory view incomplete) and
     still produce identical output."""
