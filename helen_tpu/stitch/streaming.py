@@ -356,16 +356,30 @@ class StreamingStitcher:
                       group: _Group):
         """Resolve one group: wait out its merges, close the join race with
         the callback thread, fall back to the store on any failure."""
+        import time
+
         with self._lock:
             futs = list(group.merge_futures)
         if futs:
             concurrent.futures.wait(futs)
-        with self._lock:
-            # the callback may not have run yet (or at all, if the last
-            # merge completed before its callback registered); both sides
-            # are join_future-guarded under the lock, so exactly one submits
-            self._maybe_submit_join_locked(group)
-            jf, failed = group.join_future, group.failed
+        # wait() can return BEFORE the done-callbacks have run (CPython
+        # wakes waiters, then invokes callbacks), so merge_outstanding may
+        # briefly lag the futures' actual state — settle it with a short
+        # poll rather than misreading a healthy group as failed. Both the
+        # callback and this thread are join_future-guarded under the lock,
+        # so exactly one submits the level-2 join.
+        deadline = time.monotonic() + 10.0
+        while True:
+            with self._lock:
+                self._maybe_submit_join_locked(group)
+                jf, failed = group.join_future, group.failed
+                callbacks_pending = group.merge_outstanding != 0
+            if jf is not None or failed or not callbacks_pending:
+                break
+            if time.monotonic() >= deadline:  # callbacks wedged
+                failed = True
+                break
+            time.sleep(0.001)
         exc = None if failed or jf is None else jf.exception()
         if not failed and jf is not None and exc is None:
             return jf.result()
