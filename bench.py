@@ -379,8 +379,13 @@ def _measure_e2e(params, runs: int = 2) -> dict:
 
             def sink_factory(dataset, indices, _pool=pool):
                 nonlocal sink
-                plan = build_stream_plan(dataset, indices, stitch_threads,
-                                         STITCH)
+                try:
+                    plan = build_stream_plan(dataset, indices,
+                                             stitch_threads, STITCH)
+                except Exception:
+                    # degrade to the classic stitch like polish() does —
+                    # a pre-scan hiccup must not abort the whole sweep
+                    return None
                 sink = StreamingStitcher(plan, STITCH, executor=_pool)
                 return sink
         try:

@@ -47,19 +47,25 @@ def perform_stitch(
     out_path = os.path.join(output_dir, output_prefix + (".fq" if fastq else ".fa"))
     stitcher = Stitcher(threads=threads, with_quality=fastq,
                         executor=executor)
+    # one pool spans all contigs (stitch_iter): later contigs' region
+    # work overlaps the in-order joins and streaming FASTA/FASTQ writes
+    return _write_polished(out_path,
+                           stitcher.stitch_iter(prediction_files, contigs),
+                           len(contigs), fastq)
+
+
+def _write_polished(out_path: str, rows, n_contigs: int, fastq: bool) -> str:
+    """Shared output protocol of the classic and streamed stitch stages:
+    per-contig progress logs, FASTA/FASTQ dispatch, summary line."""
 
     def records():
-        # one pool spans all contigs (stitch_iter): later contigs' region
-        # work overlaps the in-order joins and streaming FASTA/FASTQ writes
-        for i, row in enumerate(stitcher.stitch_iter(prediction_files, contigs)):
+        for i, row in enumerate(rows):
             log.info("%04d/%04d: finished %s, polished length %d",
-                     i + 1, len(contigs), row[0], len(row[1]))
+                     i + 1, n_contigs, row[0], len(row[1]))
             yield row
 
-    if fastq:
-        n = write_fastq(out_path, records())
-    else:
-        n = write_fasta(out_path, records())
+    n = write_fastq(out_path, records()) if fastq \
+        else write_fasta(out_path, records())
     log.info("wrote %d contigs to %s", n, out_path)
     return out_path
 
@@ -75,17 +81,8 @@ def _finish_streamed(sink, pred_dir: str, output_dir: str,
     n_contigs = len(sink.plan.contigs)
     log.info("stitching %d contigs (streamed) from %d prediction files",
              n_contigs, len(prediction_files))
-
-    def records():
-        for i, row in enumerate(sink.finish_iter(prediction_files)):
-            log.info("%04d/%04d: finished %s, polished length %d",
-                     i + 1, n_contigs, row[0], len(row[1]))
-            yield row
-
-    n = write_fastq(out_path, records()) if fastq \
-        else write_fasta(out_path, records())
-    log.info("wrote %d contigs to %s", n, out_path)
-    return out_path
+    return _write_polished(out_path, sink.finish_iter(prediction_files),
+                           n_contigs, fastq)
 
 
 def polish(
@@ -181,10 +178,21 @@ def polish(
             nonlocal sink
             from helen_tpu.config import STITCH
             from helen_tpu.stitch.streaming import (
+                PRESCAN_IMAGE_LIMIT,
                 StreamingStitcher,
                 build_stream_plan,
             )
 
+            n = len(dataset) if indices is None else len(indices)
+            if (n > PRESCAN_IMAGE_LIMIT
+                    and not getattr(dataset, "CHEAP_META", False)):
+                # the unpacked pre-scan is ~4 serial HDF5 reads per image —
+                # at this scale it would stall startup for minutes before
+                # the first TPU batch; the packed cache scans for free
+                log.info("streaming stitch off: %d images without --pack "
+                         "(metadata pre-scan would stall startup; add "
+                         "--pack to stream at this scale)", n)
+                return None
             try:
                 plan = build_stream_plan(dataset, indices, threads, STITCH)
             except Exception as exc:  # metadata pre-scan failed: classic path

@@ -218,6 +218,11 @@ def cache_is_fresh(
 class PackedDataset:
     """Batch-granular reader over a packed cache."""
 
+    # image_meta() reads from in-memory arrays — a full metadata pre-scan
+    # (streaming stitch) is free here, unlike MarginPolishDataset's
+    # per-image HDF5 reads
+    CHEAP_META = True
+
     def __init__(self, cache_path: str, with_labels: bool = False):
         self.path = cache_path
         self.with_labels = with_labels

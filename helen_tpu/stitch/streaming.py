@@ -61,6 +61,14 @@ from helen_tpu.utils.filesystem import chunk_list
 
 log = get_logger("stitch.stream")
 
+# build_stream_plan's pre-scan costs ~4 tiny HDF5 reads per image on the
+# UNPACKED dataset (MarginPolishDataset.image_meta) — a serial startup
+# stall the classic path never pays. Above this many images, polish only
+# streams when the dataset advertises CHEAP_META (the packed cache, whose
+# metadata is already in memory); genome-scale runs should use --pack
+# anyway (docs/usage.md).
+PRESCAN_IMAGE_LIMIT = 25_000
+
 
 def _stitch_mem_merge(
     contig: str,
@@ -249,6 +257,9 @@ class StreamingStitcher:
         )
         if self.with_quality:
             if quals is None:
+                log.warning("stream stitch: record %s chunk %s has no "
+                            "quality row in a --fastq run; falling back to "
+                            "store stitch", region_key, rec.chunk_id)
                 self._mark_broken()
                 return
             payload = payload + (np.array(quals, dtype=np.uint8),)
@@ -272,9 +283,16 @@ class StreamingStitcher:
         Called from the driver thread only."""
         from helen_tpu.utils.procs import lean_worker_env
 
-        batch, group.pending = group.pending, []
-        group.pending_bytes = 0
         contig = group.keys[0].rsplit("-", 2)[0]
+        with self._lock:
+            batch, group.pending = group.pending, []
+            group.pending_bytes = 0
+            # RESERVE the slot before the (multi-ms, pickling) submit: an
+            # earlier sub-batch's done-callback running inside this window
+            # would otherwise see remaining==0 / pending empty /
+            # outstanding==0 and submit the level-2 join WITHOUT this final
+            # sub-batch — silently dropping its regions from the contig
+            group.merge_outstanding += 1
         try:
             with lean_worker_env():
                 fut = self._executor.submit(
@@ -283,13 +301,16 @@ class StreamingStitcher:
                 )
         except (concurrent.futures.process.BrokenProcessPool,
                 RuntimeError) as exc:
+            with self._lock:
+                group.merge_outstanding -= 1
             log.warning("stream stitch pool unusable (%s); falling back to "
                         "store stitch", exc)
             self._mark_broken()
             return
         with self._lock:
+            # appended before the callback registration so the callback's
+            # join submit always sees its own future in merge_futures
             group.merge_futures.append(fut)
-            group.merge_outstanding += 1
         # the callback fires in the pool's result-handler thread as each
         # sub-batch finishes; the LAST one submits the level-2 group join —
         # so joins overlap consensus too, not just merges
