@@ -253,6 +253,24 @@ def test_sub_batch_granularity_byte_identical(setup):
     assert got == classic
 
 
+def test_stream_multi_sub_batch_real_pool(setup, tmp_path, monkeypatch):
+    """Force several merge sub-batches per group through a REAL spawn pool
+    so the async callback-chained joins (and the submit-window reservation,
+    see _submit_merge) actually run concurrently with the feed — the
+    production shape at genome scale, where tests' default fixtures fit one
+    sub-batch per group."""
+    import helen_tpu.stitch.streaming as streaming
+
+    monkeypatch.setattr(streaming.StreamingStitcher, "SUB_BATCH_REGIONS", 2)
+    f_classic = polish(setup["image_dir"], setup["model"],
+                       str(tmp_path / "classic"), batch_size=8, threads=3,
+                       stream_stitch=False)
+    f_stream = polish(setup["image_dir"], setup["model"],
+                      str(tmp_path / "stream"), batch_size=8, threads=3,
+                      stream_stitch=True)
+    assert _read(f_stream) == _read(f_classic)
+
+
 def test_stream_out_of_order_feed(setup):
     """Region completion order must not matter: feeding the stream in
     reverse index order (regions seal interleaved across contigs) still
