@@ -335,6 +335,25 @@ def test_stream_disabled_on_resume(setup, tmp_path):
     assert _read(f2) == ref
 
 
+def test_prescan_gate_disables_unpacked_streaming(setup, tmp_path,
+                                                  monkeypatch, caplog):
+    """Above PRESCAN_IMAGE_LIMIT without --pack, polish must skip the
+    metadata pre-scan (startup-stall guard) and still produce identical
+    output via the classic stage."""
+    import helen_tpu.stitch.streaming as streaming
+
+    monkeypatch.setattr(streaming, "PRESCAN_IMAGE_LIMIT", 1)
+    f1 = polish(setup["image_dir"], setup["model"], str(tmp_path / "gated"),
+                batch_size=8, threads=3, stream_stitch=True)
+    f2 = polish(setup["image_dir"], setup["model"], str(tmp_path / "ref"),
+                batch_size=8, threads=3, stream_stitch=False)
+    assert _read(f1) == _read(f2)
+    # packed datasets advertise CHEAP_META and stream at any scale
+    f3 = polish(setup["image_dir"], setup["model"], str(tmp_path / "packed"),
+                batch_size=8, threads=3, pack=True, stream_stitch=True)
+    assert _read(f3) == _read(f2)
+
+
 def test_plan_mismatch_marks_broken(setup):
     """A record the plan never predicted must break the stream (classic
     fallback), never mis-stitch."""
