@@ -20,7 +20,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from helen_tpu.config import IMAGE, MODEL, WINDOW
+from helen_tpu.config import IMAGE, WINDOW
 from helen_tpu.io.checkpoint import load_model_any
 from helen_tpu.io.images import MarginPolishDataset, batched_image_iterator
 from helen_tpu.io.prediction_store import PredictionStore

@@ -111,7 +111,7 @@ def test_plan_matches_store_grouping(setup):
     # build a prediction store from trivial labels to compare groupings
     import tempfile
 
-    from helen_tpu.io.prediction_store import PredictionStore, list_region_keys
+    from helen_tpu.io.prediction_store import PredictionStore
 
     with tempfile.TemporaryDirectory() as d:
         store_path = os.path.join(d, "p_0.hdf")
