@@ -268,8 +268,14 @@ def call_consensus(
     log.info("model loaded from %s (epochs=%s)", model_path, meta.get("epochs"))
 
     packed_ds = None
+    pack_tee = None
     if pack:
-        from helen_tpu.io.packed import PackedDataset, cache_is_fresh, pack_images
+        from helen_tpu.io.packed import (
+            PackedDataset,
+            PackTee,
+            cache_is_fresh,
+            pack_images,
+        )
 
         # per-shard cache name: hosts may share output_dir on a network fs;
         # with image sharding each host packs ONLY its own index slice.
@@ -278,14 +284,32 @@ def call_consensus(
         cache_name = ("images_cache.h5" if jax.process_count() == 1
                       else f"images_cache_{shard_id}.h5")
         cache_path = os.path.join(cache_dir or output_dir, cache_name)
-        if not cache_is_fresh(cache_path, files, indices=shard_indices):
+        if cache_is_fresh(cache_path, files, indices=shard_indices):
+            packed_ds = PackedDataset(cache_path)
+            dataset = packed_ds
+            shard_indices = None  # the cache holds exactly this host's images
+        elif resume:
+            # resume skips already-stored batches, which would leave holes
+            # in a write-through cache — build it upfront the classic way
             log.info("building packed image cache %s", cache_path)
             # reuse the already-built index when image sharding computed one
             pack_images(files, cache_path, IMAGE, indices=shard_indices,
                         dataset=dataset)
-        packed_ds = PackedDataset(cache_path)
-        dataset = packed_ds
-        shard_indices = None  # the cache holds exactly this host's images
+            packed_ds = PackedDataset(cache_path)
+            dataset = packed_ds
+            shard_indices = None
+        else:
+            # stale/missing cache on a fresh run: tee the image stream into
+            # the cache DURING consensus (io.packed.PackTee) — each image is
+            # read once, not pre-read for the build and re-read for the run
+            if dataset is None:
+                dataset = MarginPolishDataset(files, IMAGE)
+            n_run = (len(shard_indices) if shard_indices is not None
+                     else len(dataset))
+            log.info("building packed image cache %s during this run "
+                     "(write-through)", cache_path)
+            pack_tee = PackTee(cache_path, n_run, IMAGE, files,
+                               indices=shard_indices)
     elif dataset is None:
         dataset = MarginPolishDataset(files, IMAGE)
     if len(dataset) == 0:
@@ -359,6 +383,12 @@ def call_consensus(
             base_labels, rle_labels = out[0], out[1]
             qual_rows = out[2] if qualities else None
             windows.add(b.valid * n_windows)
+            if pack_tee is not None:
+                # write-through cache build: enqueue to the tee's writer
+                # thread (blocks only when the disk falls 2+ batches behind
+                # — that backpressure shows up in this stage's time)
+                with timer.stage("pack_tee"):
+                    pack_tee.add_batch(b)
             with timer.stage("write"):
                 for j, rec in enumerate(b.records):
                     wrote = store.write_prediction(
@@ -441,30 +471,37 @@ def call_consensus(
         in_flight: deque = deque()
         last_flush = _time.monotonic()
         stop_evt = _threading.Event()
-        for bi, (abs_bi, batch, dev_images) in enumerate(
-                prefetched(transferred, stop_evt, depth)):
-            with timer.stage("tpu_submit"):
-                handle = step.submit(dev_images)
-            in_flight.append((batch, handle))
-            if len(in_flight) > depth:
+        try:
+            for bi, (abs_bi, batch, dev_images) in enumerate(
+                    prefetched(transferred, stop_evt, depth)):
+                with timer.stage("tpu_submit"):
+                    handle = step.submit(dev_images)
+                in_flight.append((batch, handle))
+                if len(in_flight) > depth:
+                    drain(in_flight.popleft())
+                if bi % 10 == 0:
+                    # abs_bi is the position in the FULL batch stream
+                    # (resume-skipped batches included) so progress tracks
+                    # the input, not just the remaining work
+                    log.info("batch %d/%d  |  %s", abs_bi + 1, total_batches,
+                             windows)
+                # flush so a hard kill (preemption) leaves a readable store
+                # for --resume instead of a truncated HDF5 B-tree.
+                # Time-based, not batch-count: at large batch sizes ten
+                # batches can be many minutes of lost work
+                if bi % 10 == 0 or _time.monotonic() - last_flush > 60:
+                    with timer.stage("flush"):
+                        store.flush()
+                    last_flush = _time.monotonic()
+            while in_flight:
                 drain(in_flight.popleft())
-            if bi % 10 == 0:
-                # abs_bi is the position in the FULL batch stream (resume-
-                # skipped batches included) so progress tracks the input,
-                # not just the remaining work
-                log.info("batch %d/%d  |  %s", abs_bi + 1, total_batches,
-                         windows)
-            # flush so a hard kill (preemption) leaves a readable store for
-            # --resume instead of a truncated HDF5 B-tree. Time-based, not
-            # batch-count: at large batch sizes ten batches can be many
-            # minutes of lost work
-            if bi % 10 == 0 or _time.monotonic() - last_flush > 60:
-                with timer.stage("flush"):
-                    store.flush()
-                last_flush = _time.monotonic()
-        while in_flight:
-            drain(in_flight.popleft())
-        windows.stop()
+            windows.stop()
+            if pack_tee is not None:
+                with timer.stage("pack_tee"):
+                    pack_tee.finalize()
+        finally:
+            if pack_tee is not None and not pack_tee.closed:
+                pack_tee.abandon()  # failed mid-run: drop the partial cache
 
     skipped += skipped_whole  # producer thread has exited by now
     log.info("consensus done: %d images written, %d skipped (resume), %s",

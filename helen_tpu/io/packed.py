@@ -140,24 +140,166 @@ def _write_pack(tmp, ds, idx, image_config, files, with_labels, chunk_rows,
                 slab_lo = j + 1
         if slab_lo < n:
             flush_slab(slab_lo, n)
-        g["contig_ids"] = contig_ids
-        g["contig_start"] = starts
-        g["contig_end"] = ends
-        g["chunk_id"] = chunk_ids
-        # variable-length strings: fixed-width dtypes would silently truncate
-        # long contig names / paths, diverging from the unpacked path
-        str_dt = h5py.string_dtype()
-        g.create_dataset("contigs", data=[c.encode() for c in contigs], dtype=str_dt)
-        g.create_dataset(
-            "source_files",
-            data=[os.path.abspath(f).encode() for f in files],
-            dtype=str_dt,
+        _write_pack_meta(g, contigs, contig_ids, starts, ends, chunk_ids,
+                         files, with_labels, image_config, idx, subset)
+
+
+def _write_pack_meta(g, contigs, contig_ids, starts, ends, chunk_ids,
+                     files, with_labels, image_config, idx, subset) -> None:
+    """The cache's metadata + freshness signature (shared by the upfront
+    pack_images build and the write-through PackTee)."""
+    g["contig_ids"] = contig_ids
+    g["contig_start"] = starts
+    g["contig_end"] = ends
+    g["chunk_id"] = chunk_ids
+    # variable-length strings: fixed-width dtypes would silently truncate
+    # long contig names / paths, diverging from the unpacked path
+    str_dt = h5py.string_dtype()
+    g.create_dataset("contigs", data=[c.encode() for c in contigs],
+                     dtype=str_dt)
+    g.create_dataset(
+        "source_files",
+        data=[os.path.abspath(f).encode() for f in files],
+        dtype=str_dt,
+    )
+    g["source_mtimes"] = np.array([os.path.getmtime(f) for f in files])
+    g["with_labels"] = int(with_labels)
+    g["image_shape"] = np.array(
+        [image_config.seq_length, image_config.feature_dim], dtype=np.int64
+    )
+    if subset:
+        g["source_indices"] = np.asarray(idx, dtype=np.int64)
+
+
+class PackTee:
+    """Write-through packed-cache builder: tee the consensus image stream
+    into the cache DURING the run instead of a serial pre-read.
+
+    A stale cache previously cost a full pre-read of every image
+    (pack_images) before the first TPU batch; this run would then re-read
+    everything from the cache. Teeing folds the build into the stream —
+    each image is read once, the cache writes ride a background thread
+    (bounded queue, so a slow disk backpressures the feed instead of
+    ballooning memory), and the finished cache is byte-identical to a
+    pack_images build (same padded records, same metadata, same freshness
+    signature) so the NEXT run slab-reads it as usual.
+
+    Contract: the feeder must deliver every index of the run exactly once,
+    in order (the consensus drain loop with resume OFF — resume-skipped
+    batches would leave holes, so call_consensus keeps the upfront build
+    for resume runs). ``finalize()`` publishes atomically via os.replace;
+    any error or shortfall abandons the tmp file and the next run rebuilds.
+    """
+
+    def __init__(self, cache_path: str, n: int,
+                 image_config: ImageConfig = IMAGE,
+                 files: Sequence[str] = (),
+                 indices: Optional[Sequence[int]] = None,
+                 chunk_rows: int = 256):
+        import queue
+        import threading
+
+        self.final = cache_path
+        self.tmp = cache_path + f".tmp{os.getpid()}"
+        self.cfg = image_config
+        self.files = list(files)
+        self.indices = list(indices) if indices is not None else None
+        self.n = n
+        self.closed = False
+        self.error: Optional[BaseException] = None
+        L, F = image_config.seq_length, image_config.feature_dim
+        rows = min(chunk_rows, n)
+        self._file = h5py.File(self.tmp, "w")
+        g = self._file.create_group("packed")
+        self._images = g.create_dataset(
+            "images", (n, L, F), dtype=np.uint8, chunks=(rows, L, F)
         )
-        g["source_mtimes"] = np.array([os.path.getmtime(f) for f in files])
-        g["with_labels"] = int(with_labels)
-        g["image_shape"] = np.array([L, F], dtype=np.int64)
-        if subset:
-            g["source_indices"] = np.asarray(idx, dtype=np.int64)
+        self._positions = g.create_dataset(
+            "positions", (n, L, 3), dtype=np.int64, chunks=(rows, L, 3)
+        )
+        self._contigs: List[str] = []
+        self._contig_idx: dict = {}
+        self._contig_ids = np.zeros(n, dtype=np.int32)
+        self._starts = np.zeros(n, dtype=np.int64)
+        self._ends = np.zeros(n, dtype=np.int64)
+        self._chunk_ids = np.zeros(n, dtype=np.int32)
+        self._written = 0
+        self._q: "queue.Queue" = queue.Queue(maxsize=2)
+        self._thread = threading.Thread(target=self._writer, daemon=True,
+                                        name="pack-tee")
+        self._thread.start()
+
+    def add_batch(self, batch: ImageBatch) -> None:
+        """Enqueue one drained batch (its first ``valid`` rows). Called from
+        the drain loop; blocks only when the disk is 2+ batches behind."""
+        if self.error is None and not self.closed:
+            self._q.put(batch)
+
+    def _writer(self) -> None:
+        while True:
+            b = self._q.get()
+            if b is None:
+                return
+            if self.error is not None:
+                continue  # drain remaining items so the feeder never blocks
+            try:
+                v = b.valid
+                lo, hi = self._written, self._written + v
+                self._images[lo:hi] = b.images[:v]
+                self._positions[lo:hi] = np.stack(
+                    [r.position for r in b.records]
+                )
+                for j, r in enumerate(b.records):
+                    ci = self._contig_idx.get(r.contig)
+                    if ci is None:
+                        ci = self._contig_idx[r.contig] = len(self._contigs)
+                        self._contigs.append(r.contig)
+                    self._contig_ids[lo + j] = ci
+                    self._starts[lo + j] = r.contig_start
+                    self._ends[lo + j] = r.contig_end
+                    self._chunk_ids[lo + j] = r.chunk_id
+                self._written = hi
+            except BaseException as exc:  # disk full, etc. — cache is lost,
+                self.error = exc         # the run itself continues
+                log.warning("packed-cache write-through failed (%s); this "
+                            "run continues unpacked and the cache will "
+                            "rebuild next time", exc)
+
+    def finalize(self) -> bool:
+        """Publish the cache (atomic). Returns False (and removes the tmp)
+        on any write error or if fewer than n images arrived."""
+        self._q.put(None)
+        self._thread.join()
+        self.closed = True
+        if self.error is not None or self._written != self.n:
+            if self.error is None:
+                log.warning("packed-cache write-through incomplete "
+                            "(%d/%d images); discarding", self._written,
+                            self.n)
+            self._file.close()
+            os.unlink(self.tmp)
+            return False
+        _write_pack_meta(self._file["packed"], self._contigs,
+                         self._contig_ids, self._starts, self._ends,
+                         self._chunk_ids, self.files, False, self.cfg,
+                         self.indices, self.indices is not None)
+        self._file.close()
+        os.replace(self.tmp, self.final)
+        log.info("packed %d images into %s (write-through)", self.n,
+                 self.final)
+        return True
+
+    def abandon(self) -> None:
+        """Drop the partial cache (run failed mid-stream)."""
+        if self.closed:
+            return
+        self.error = self.error or RuntimeError("abandoned")
+        self._q.put(None)
+        self._thread.join()
+        self.closed = True
+        self._file.close()
+        if os.path.exists(self.tmp):
+            os.unlink(self.tmp)
 
 
 def cache_is_fresh(

@@ -193,3 +193,80 @@ def test_cache_in_image_dir_not_listed_as_input(tmp_path):
     (tmp_path / "train_images_cache.h5").write_bytes(b"")
     files = list_image_files(str(tmp_path))
     assert [os.path.basename(f) for f in files] == ["real.h5"]
+
+
+def test_write_through_cache_bit_identical_to_upfront(image_files, tmp_path):
+    """A cache built by the consensus write-through tee (cold pack=True run)
+    must be bit-identical to a pack_images build — same padded records,
+    metadata, and freshness signature — and the next run must slab-read it."""
+    import h5py
+
+    torch.manual_seed(3)
+    model = TorchTransducer()
+    pkl = str(tmp_path / "m.pkl")
+    torch.save({"model_state_dict": model.state_dict(), "model_optimizer": {},
+                "hidden_size": 128, "gru_layers": 1, "epochs": 0}, pkl)
+    out = str(tmp_path / "wt")
+    f1 = call_consensus(image_files=image_files, model_path=pkl,
+                        output_dir=out, batch_size=8, num_workers=2,
+                        pack=True)[0]
+    tee_cache = os.path.join(out, "images_cache.h5")
+    assert cache_is_fresh(tee_cache, image_files)
+
+    upfront = str(tmp_path / "upfront.h5")
+    pack_images(image_files, upfront)
+    with h5py.File(tee_cache) as a, h5py.File(upfront) as b:
+        for name in ("images", "positions", "contig_ids", "contig_start",
+                     "contig_end", "chunk_id", "source_mtimes",
+                     "image_shape"):
+            np.testing.assert_array_equal(a[f"packed/{name}"][()],
+                                          b[f"packed/{name}"][()])
+        assert list(a["packed/contigs"][()]) == list(b["packed/contigs"][()])
+        assert list(a["packed/source_files"][()]) == \
+            list(b["packed/source_files"][()])
+
+    # second run consumes the teed cache via PackedDataset — identical store
+    out2 = str(tmp_path / "wt2")
+    f2 = call_consensus(image_files=image_files, model_path=pkl,
+                        output_dir=out2, batch_size=8, num_workers=2,
+                        pack=True, cache_dir=out)[0]
+    for contig in ("c0", "c1"):
+        for (pa, ra, _, _), (pb, rb, _, _) in zip(
+            list_region_keys([f1], contig), list_region_keys([f2], contig)
+        ):
+            for (posa, ba, rlea), (posb, bb, rleb) in zip(
+                read_prediction_regions(pa[0], contig, ra),
+                read_prediction_regions(pb[0], contig, rb),
+            ):
+                np.testing.assert_array_equal(ba, bb)
+                np.testing.assert_array_equal(rlea, rleb)
+
+
+def test_pack_tee_incomplete_discards(image_files, tmp_path):
+    """finalize() with fewer images than promised must not publish."""
+    from helen_tpu.config import IMAGE
+    from helen_tpu.io.images import batched_image_iterator
+    from helen_tpu.io.packed import PackTee
+
+    ds = MarginPolishDataset(image_files)
+    assert len(ds) >= 2
+    cache = str(tmp_path / "cache.h5")
+    tee = PackTee(cache, len(ds), IMAGE, image_files)
+    batch = next(iter(batched_image_iterator(ds, 1, num_workers=1)))
+    tee.add_batch(batch)  # 1 < len(ds) images
+    assert tee.finalize() is False
+    assert not os.path.exists(cache)
+    assert not os.path.exists(tee.tmp)
+
+
+def test_pack_tee_abandon(image_files, tmp_path):
+    from helen_tpu.config import IMAGE
+    from helen_tpu.io.packed import PackTee
+
+    ds = MarginPolishDataset(image_files)
+    cache = str(tmp_path / "cache.h5")
+    tee = PackTee(cache, len(ds), IMAGE, image_files)
+    tee.abandon()
+    assert not os.path.exists(cache)
+    assert not os.path.exists(tee.tmp)
+    tee.abandon()  # idempotent
