@@ -270,3 +270,33 @@ def test_pack_tee_abandon(image_files, tmp_path):
     assert not os.path.exists(cache)
     assert not os.path.exists(tee.tmp)
     tee.abandon()  # idempotent
+
+
+def test_pack_tee_subset_indices(image_files, tmp_path):
+    """The multi-host image-shard path: a tee over an index SUBSET must
+    publish a cache equivalent to a pack_images subset build (same
+    freshness contract cache_is_fresh(indices=...) checks)."""
+    from helen_tpu.config import IMAGE
+    from helen_tpu.io.images import batched_image_iterator
+    from helen_tpu.io.packed import PackTee
+
+    ds = MarginPolishDataset(image_files)
+    subset = list(range(0, len(ds), 2))
+    cache = str(tmp_path / "cache.h5")
+    tee = PackTee(cache, len(subset), IMAGE, image_files, indices=subset)
+    for batch in batched_image_iterator(ds, 2, num_workers=1,
+                                        indices=subset):
+        tee.add_batch(batch)
+    assert tee.finalize() is True
+    assert cache_is_fresh(cache, image_files, indices=subset)
+    assert not cache_is_fresh(cache, image_files)  # full-set consumer: stale
+
+    upfront = str(tmp_path / "upfront.h5")
+    pack_images(image_files, upfront, indices=subset)
+    import h5py
+
+    with h5py.File(cache) as a, h5py.File(upfront) as b:
+        for name in ("images", "positions", "contig_ids", "chunk_id",
+                     "source_indices"):
+            np.testing.assert_array_equal(a[f"packed/{name}"][()],
+                                          b[f"packed/{name}"][()])
