@@ -210,7 +210,11 @@ def call_consensus(
     pipeline well below chip speed (docs/performance.md); stitch merges the
     per-writer shards exactly like multi-host shards.
     ``pack=True`` builds (or reuses) a packed contiguous cache of the images
-    for slab-read streaming — ~10-30x faster host IO on large runs.
+    for slab-read streaming — ~10-30x faster host IO on large runs. A cold
+    cache on a fresh run builds WRITE-THROUGH (io.packed.PackTee): this run
+    streams the unpacked images and a tee thread writes them into the cache
+    as they drain, so the build costs no separate pre-read pass; resume
+    runs build upfront (skipped batches would leave holes).
 
     ``stream_sink_factory`` (polish's streaming-stitch hook) is called once
     with the resolved ``(dataset, indices)`` — indices is None when the whole
