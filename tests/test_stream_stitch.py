@@ -335,6 +335,63 @@ def test_stream_disabled_on_resume(setup, tmp_path):
     assert _read(f2) == ref
 
 
+def test_stream_multichunk_regions_string_order(tmp_path):
+    """Regions with >= 11 chunks force the lexicographic str(chunk_id)
+    merge order ('10' sorts between '1' and '2') — the parity surface the
+    store path inherits from HDF5 group-name sorting. Streamed merges must
+    replay it from in-memory payloads."""
+    import concurrent.futures
+    import tempfile
+
+    from helen_tpu.infer.polish import perform_stitch
+    from helen_tpu.io.prediction_store import PredictionStore
+    from helen_tpu.io.synthetic import random_sequence, write_image_file
+
+    class _InlinePool:
+        def submit(self, fn, *a, **k):
+            f = concurrent.futures.Future()
+            f.set_result(fn(*a, **k))
+            return f
+
+        def shutdown(self, **k):
+            pass
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    # region_cols=12000 -> 12 chunk images per region (chunk_ids 0..11)
+    write_image_file(str(img_dir / "img.h5"),
+                     {"big": random_sequence(40000, seed=9)},
+                     region_cols=12000, overlap_cols=80, noise=0.2)
+    ds = MarginPolishDataset([str(img_dir / "img.h5")])
+    per_region = {}
+    for i in range(len(ds)):
+        c, s, e, k = ds.image_meta(i)
+        per_region.setdefault((s, e), set()).add(k)
+    assert max(len(v) for v in per_region.values()) >= 11
+
+    plan = build_stream_plan(ds, None, 3, STITCH)
+    sink = StreamingStitcher(plan, STITCH, executor=_InlinePool())
+    rng = np.random.default_rng(5)
+    with tempfile.TemporaryDirectory() as d:
+        store_path = os.path.join(d, "pred_0.hdf")
+        with PredictionStore(store_path, "w") as store:
+            for i in range(len(ds)):
+                rec = ds.load(i)
+                n = rec.position.shape[0]
+                bases = rng.integers(0, 5, n).astype(np.uint8)
+                rles = rng.integers(0, 11, n).astype(np.uint8)
+                assert store.write_prediction(
+                    rec.contig, rec.contig_start, rec.contig_end,
+                    rec.chunk_id, rec.position, bases, rles)
+                sink.add(rec, bases, rles)
+        assert sink.ready()
+        rows = list(sink.finish_iter([store_path]))
+        out = perform_stitch(d, d, "classic", threads=1)
+        classic = _read(out).decode()
+    got = "".join(f">{c}\n{s}\n" for c, s in rows)
+    assert got == classic
+
+
 def test_prescan_gate_disables_unpacked_streaming(setup, tmp_path,
                                                   monkeypatch, caplog):
     """Above PRESCAN_IMAGE_LIMIT without --pack, polish must skip the
