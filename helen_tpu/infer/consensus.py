@@ -310,10 +310,11 @@ def call_consensus(
                 dataset = MarginPolishDataset(files, IMAGE)
             n_run = (len(shard_indices) if shard_indices is not None
                      else len(dataset))
-            log.info("building packed image cache %s during this run "
-                     "(write-through)", cache_path)
-            pack_tee = PackTee(cache_path, n_run, IMAGE, files,
-                               indices=shard_indices)
+            if n_run > 0:  # 0 falls through to the no-images error below
+                log.info("building packed image cache %s during this run "
+                         "(write-through)", cache_path)
+                pack_tee = PackTee(cache_path, n_run, IMAGE, files,
+                                   indices=shard_indices)
     elif dataset is None:
         dataset = MarginPolishDataset(files, IMAGE)
     if len(dataset) == 0:
